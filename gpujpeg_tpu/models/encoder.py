@@ -1,0 +1,197 @@
+"""Encoder session: the TPU-native equivalent of gpujpeg_encoder.
+
+Orchestrates the jit-compiled device pipeline
+    preprocess -> fused DCT+quant (MXU) -> tokenize -> pack (segment-parallel)
+and the host-side codestream assembly, with per-geometry jit caches playing
+the role of the reference's persistent coder buffers
+(gpujpeg_encoder.c:351-643; session-reuse semantics of
+gpujpeg_coder_init_image, gpujpeg_common.c:632-637).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dct, pack, sample, tokens
+from ..stream import assemble, writer as jwriter
+from ..types import (ColorSpace, ImageParameters, Parameters, PixelFormat,
+                     RESTART_AUTO, pixel_format_comp_count,
+                     pixel_format_sampling)
+from ..utils import tables
+from ..utils.geometry import Geometry, get_geometry, suggest_restart_interval
+
+#: pull-window size: floor(32 / min_code_len) + 2 (see ops.pack); the default
+#: Annex-K tables all have min code length 2.
+K_WINDOW = 18
+
+
+def _bucket(n: int, lo: int = 4096) -> int:
+    """Round up to a power-of-two bucket to bound jit recompiles."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def adjust_params(param: Parameters, pi: ImageParameters) -> Parameters:
+    """Resolve auto values (comp count, sampling, restart interval)
+    (gpujpeg_encoder.c:319-348)."""
+    if param.comp_count == 0:
+        n = min(pixel_format_comp_count(pi.pixel_format), 3) \
+            if pi.pixel_format != PixelFormat.P4444_U8_P0123 else 4
+        samp = pixel_format_sampling(pi.pixel_format)
+        param = param.chroma_subsampled(samp[:n])
+    if param.restart_interval == RESTART_AUTO:
+        sf = param.sampling_factor[: param.comp_count]
+        subsampled = any(s.horizontal != sf[0].horizontal
+                         or s.vertical != sf[0].vertical for s in sf)
+        param = param.with_(restart_interval=suggest_restart_interval(
+            pi, param.comp_count, subsampled, param.interleaved))
+    if param.comp_count == 1:
+        # grayscale always luminance; internal color space irrelevant
+        param = param.with_(interleaved=False)
+    return param
+
+
+@dataclasses.dataclass
+class DurationStats:
+    """Per-phase timings (gpujpeg_duration_stats, gpujpeg_common.h:365-375)."""
+
+    duration_memory_to: float = 0.0
+    duration_memory_from: float = 0.0
+    duration_preprocessor: float = 0.0
+    duration_dct_quantization: float = 0.0
+    duration_huffman_coder: float = 0.0
+    duration_stream: float = 0.0
+    duration_in_gpu: float = 0.0
+
+
+@functools.lru_cache(maxsize=32)
+def _encode_luts(quality: int, table_indices: Tuple[bool, ...]):
+    """Quant tables + Huffman encode LUTs for luma/chroma slots."""
+    qtabs = [tables.quant_table_zz(True, quality),
+             tables.quant_table_zz(False, quality)]
+    dc_lut = np.stack([
+        tables.huffman_encode_lut(*tables.huffman_spec_for("dc", True), 16),
+        tables.huffman_encode_lut(*tables.huffman_spec_for("dc", False), 16),
+    ])
+    ac_lut = np.stack([
+        tables.huffman_encode_lut(*tables.huffman_spec_for("ac", True), 256),
+        tables.huffman_encode_lut(*tables.huffman_spec_for("ac", False), 256),
+    ])
+    return qtabs, dc_lut, ac_lut
+
+
+def make_tokens_fn(geo: Geometry):
+    """Build the jitted raw->tokens function for one geometry."""
+    qtabs, dc_lut, ac_lut = _encode_luts(geo.param.quality, ())
+    stream_perm = geo.stream_to_storage
+    identity_perm = bool(np.array_equal(stream_perm,
+                                        np.arange(len(stream_perm))))
+    rows = geo.seg_rows
+    valid = rows >= 0
+    rows_clipped = np.maximum(rows, 0)
+    rows_identity = bool(
+        valid.all() and np.array_equal(rows.reshape(-1),
+                                       np.arange(rows.size)))
+    nseg, max_bps = rows.shape
+
+    def fn(raw):
+        planes = sample.preprocess(raw, geo, geo.param_image)
+        coefs = jnp.concatenate([
+            dct.fdct_quantize(planes[c.index], qtabs[c.table_index])
+            for c in geo.components
+        ], axis=0)
+        if not identity_perm:
+            coefs = coefs[jnp.asarray(stream_perm)]
+        bits, lens = tokens.tokenize(
+            coefs, geo.stream_dc_prev, geo.stream_table_idx, dc_lut, ac_lut)
+        if rows_identity:
+            bits_rows = bits.reshape(nseg, max_bps * 64)
+            lens_rows = lens.reshape(nseg, max_bps * 64)
+        else:
+            bits_rows = bits[jnp.asarray(rows_clipped)].reshape(nseg, -1)
+            lens_rows = lens[jnp.asarray(rows_clipped)].reshape(nseg, -1)
+            lens_rows = jnp.where(
+                jnp.asarray(valid).reshape(nseg, max_bps, 1)
+                   .repeat(64, axis=2).reshape(nseg, -1),
+                lens_rows, 0)
+        seg_bits = jnp.sum(lens_rows, axis=1, dtype=jnp.int32)
+        seg_bytes = (seg_bits + ((-seg_bits) % 8)) >> 3
+        ntok = jnp.sum((lens_rows > 0).astype(jnp.int32)) + nseg  # + pad tokens
+        return bits_rows, lens_rows, seg_bytes, ntok
+
+    return jax.jit(fn)
+
+
+class Encoder:
+    """Persistent encoder session (create once, encode many frames)."""
+
+    def __init__(self) -> None:
+        self._tokens_fns: Dict[Geometry, object] = {}
+        self.stats = DurationStats()
+        self._frames = 0
+
+    # -- options (gpujpeg_encoder_set_option, gpujpeg_encoder.c:736-795) -----
+    def set_option(self, key: str, value: str) -> None:
+        raise NotImplementedError(f"option {key!r} not supported yet")
+
+    def encode(self, image, param: Optional[Parameters] = None,
+               param_image: Optional[ImageParameters] = None) -> bytes:
+        """Encode one raw image to a JPEG codestream.
+
+        image: numpy/JAX uint8 array — (H, W, C) / (H, W) for interleaved
+        formats, flat (N,) for planar formats.
+        """
+        t0 = time.perf_counter()
+        image = np.asarray(image) if not isinstance(image, jax.Array) else image
+        if param_image is None:
+            if image.ndim < 2:
+                raise ValueError("param_image required for flat buffers")
+            h, w = image.shape[:2]
+            ncomp = image.shape[2] if image.ndim == 3 else 1
+            pf = {1: PixelFormat.U8, 3: PixelFormat.P444_U8_P012,
+                  4: PixelFormat.P4444_U8_P0123}[ncomp]
+            cs = ColorSpace.RGB if ncomp >= 3 else ColorSpace.NONE
+            param_image = ImageParameters(width=w, height=h, color_space=cs,
+                                          pixel_format=pf)
+        param = adjust_params(param or Parameters(), param_image)
+        geo = get_geometry(param, param_image)
+
+        fn = self._tokens_fns.get(geo)
+        if fn is None:
+            fn = make_tokens_fn(geo)
+            self._tokens_fns[geo] = fn
+
+        x = jnp.asarray(image)
+        bits_rows, lens_rows, seg_bytes_d, ntok = fn(x)
+        seg_bytes = np.asarray(seg_bytes_d)
+        ntok_i = int(ntok)
+        total_bytes = int(seg_bytes.sum())
+        cap_tokens = _bucket(ntok_i + 1)
+        cap_words = _bucket((total_bytes + 3) // 4, lo=1024)
+
+        words, _, count = pack.pack_segments(
+            bits_rows, lens_rows, cap_tokens=cap_tokens,
+            cap_words=cap_words, k_window=K_WINDOW)
+        t1 = time.perf_counter()
+
+        compact = np.asarray(words).astype(">u4").view(np.uint8)
+        header = jwriter.write_header(geo)
+        out = assemble.assemble(geo, header, compact[:total_bytes], seg_bytes)
+        t2 = time.perf_counter()
+
+        self.stats.duration_in_gpu = (t1 - t0) * 1000.0
+        self.stats.duration_stream = (t2 - t1) * 1000.0
+        self._frames += 1
+        return out
+
+    def get_stats(self) -> DurationStats:
+        return self.stats

@@ -1,0 +1,64 @@
+"""Fused DCT + quantization as MXU matmuls.
+
+The reference runs a warp-shuffled AAN DCT with a pre-divided quant table
+(src/gpujpeg_dct_gpu.cu:163-294, src/gpujpeg_table.c:111-120).  On TPU the
+natural idiom is one large matmul: an 8x8 block flattened to 64 samples hits
+a (64, 64) matrix that *is* the separable 2D DCT with zig-zag reordering and
+quantizer reciprocals folded into its columns — one MXU pass produces
+quantized zig-zag coefficients directly.  The -128 level shift folds into an
+additive bias (the reference folds it into the first 1-D pass,
+gpujpeg_dct_gpu.cu:251-261).
+
+Inverse: (N, 64) zig-zag coefficients hit a (64, 64) dequant+IDCT matrix;
++128 / round / clamp match the reference's rintf semantics
+(gpujpeg_dct_gpu.cu:608-613).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import tables
+
+
+def plane_to_blocks(plane: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (H/8 * W/8, 64) row-major blocks in raster order."""
+    H, W = plane.shape
+    x = plane.reshape(H // 8, 8, W // 8, 8)
+    x = x.transpose(0, 2, 1, 3)
+    return x.reshape(-1, 64)
+
+
+def blocks_to_plane(blocks: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """(H/8 * W/8, 64) -> (H, W)."""
+    x = blocks.reshape(H // 8, W // 8, 8, 8)
+    x = x.transpose(0, 2, 1, 3)
+    return x.reshape(H, W)
+
+
+def fdct_quantize(plane: jnp.ndarray, qtab_zz: np.ndarray) -> jnp.ndarray:
+    """Forward DCT + quantize one component plane.
+
+    plane: (data_h, data_w) integer samples in [0, 255]
+    returns: (nblocks, 64) int16 quantized coefficients in zig-zag order.
+    """
+    Mq, bias = tables.fdct_fused_matrix(np.asarray(qtab_zz))
+    x = plane_to_blocks(plane).astype(jnp.float32)
+    y = jnp.dot(x, jnp.asarray(Mq), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    y = y + jnp.asarray(bias)
+    # rintf == round-half-to-even, same as jnp.round
+    return jnp.round(y).astype(jnp.int16)
+
+
+def dequantize_idct(coefs: jnp.ndarray, qtab_zz: np.ndarray,
+                    H: int, W: int) -> jnp.ndarray:
+    """Dequantize + inverse DCT -> (H, W) int32 samples in [0, 255]."""
+    Ni = tables.idct_fused_matrix(np.asarray(qtab_zz))
+    y = coefs.astype(jnp.float32)
+    x = jnp.dot(y, jnp.asarray(Ni), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    x = jnp.clip(jnp.round(x + 128.0), 0, 255).astype(jnp.int32)
+    return blocks_to_plane(x, H, W)

@@ -1,0 +1,99 @@
+"""Vectorized Huffman tokenization.
+
+The reference encodes entropy symbols with one warp per restart segment using
+ballot/clz tricks (src/gpujpeg_huffman_gpu_encoder.cu:197-287).  The
+TPU-native formulation is fully data-parallel over *every coefficient slot*:
+each of the 64 zig-zag positions of every block emits exactly zero or one
+token of at most 27 bits:
+
+  pos 0:            DC code  (size category of the DC diff) + value bits
+  pos i, coef != 0: AC code  ((run & 15) << 4 | size) + value bits
+  pos i, coef == 0: ZRL (0xF0) iff this zero is the 16th/32nd/48th of its
+                    run *and* a nonzero coefficient follows in the block
+  pos 63, coef==0:  EOB (0x00)
+  otherwise:        nothing (length 0)
+
+Zero-run lengths and "a nonzero follows" come from per-block prefix/suffix
+max-scans — the associative-scan equivalent of the reference's
+__ballot_sync + __clz bitmaps.  The result is a dense (blocks, 64) array of
+(bits, len) pairs consumed by ops.pack.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_huffman_luts(huff_enc_dc: np.ndarray, huff_enc_ac: np.ndarray):
+    """Stack per-table-index encoder LUTs.
+
+    huff_enc_dc: (ntab, 16) uint32  (len<<16 | code), indexed by size
+    huff_enc_ac: (ntab, 256) uint32, indexed by (run<<4 | size)
+    """
+    return np.asarray(huff_enc_dc, np.uint32), np.asarray(huff_enc_ac, np.uint32)
+
+
+def tokenize(coefs: jnp.ndarray, dc_prev_idx: np.ndarray,
+             table_idx: np.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray):
+    """Compute Huffman tokens for stream-ordered blocks.
+
+    coefs:       (B, 64) int  quantized zig-zag coefficients, stream order
+    dc_prev_idx: (B,) int32   stream index of DC predictor block (-1 = none);
+                              static (from Geometry.stream_dc_prev)
+    table_idx:   (B,) int32   Huffman table slot per block; static
+    dc_lut:      (ntab, 16) uint32, ac_lut: (ntab, 256) uint32
+
+    Returns (bits, lens): (B, 64) uint32 / (B, 64) int32.
+    """
+    B = coefs.shape[0]
+    v = coefs.astype(jnp.int32)
+
+    # DC differential prediction (F.1.1.5.1); resets encoded as idx -1
+    dc = v[:, 0]
+    prev = jnp.asarray(np.maximum(dc_prev_idx, 0))
+    has_prev = jnp.asarray((dc_prev_idx >= 0))
+    dc_pred = jnp.where(has_prev, dc[prev], 0)
+    v = jnp.concatenate([(dc - dc_pred)[:, None], v[:, 1:]], axis=1)
+
+    av = jnp.abs(v)
+    size = 32 - jax.lax.clz(av)                      # bit category; 0 for v==0
+    vb = jnp.where(v < 0, v - 1, v) & ((1 << size) - 1)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, 64), 1)
+    nz = v != 0
+    # last nonzero position at or before i (DC slot acts as run boundary)
+    marker = jnp.where(nz | (idx == 0), idx, -1)
+    last_incl = jax.lax.cummax(marker, axis=1)
+    last_before = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), last_incl[:, :-1]], axis=1)
+    run = idx - last_before - 1                       # zeros before position i
+    # any nonzero strictly after position i
+    suffix = jnp.flip(jax.lax.cummax(jnp.flip(nz.astype(jnp.int32), 1), axis=1), 1)
+    has_after = jnp.concatenate(
+        [suffix[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1) > 0
+
+    is_dc = idx == 0
+    is_code = nz & ~is_dc
+    zero_run_incl = idx - last_before                 # zeros up to & incl. i
+    is_zrl = (~nz) & ~is_dc & has_after & (zero_run_incl % 16 == 0)
+    is_eob = (~nz) & (idx == 63)
+
+    sym = jnp.where(is_dc, jnp.minimum(size, 15),
+          jnp.where(is_code, ((run & 15) << 4) | size,
+          jnp.where(is_zrl, 0xF0, 0)))
+
+    tab = jnp.asarray(table_idx)[:, None]
+    dc_entry = jnp.asarray(dc_lut)[tab[:, 0], sym[:, 0]]
+    ac_entry = jnp.asarray(ac_lut).reshape(-1)[
+        (tab * ac_lut.shape[1] + sym).reshape(B, 64)]
+    entry = jnp.concatenate([dc_entry[:, None], ac_entry[:, 1:]], axis=1)
+
+    clen = (entry >> 16).astype(jnp.int32)
+    code = (entry & 0xFFFF).astype(jnp.uint32)
+    bits = (code << jnp.minimum(size, 31).astype(jnp.uint32)) | vb.astype(jnp.uint32)
+    lens = clen + size
+    emit = is_dc | is_code | is_zrl | is_eob
+    lens = jnp.where(emit, lens, 0)
+    return bits, lens
