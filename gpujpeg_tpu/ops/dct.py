@@ -53,6 +53,19 @@ def fdct_quantize(plane: jnp.ndarray, qtab_zz: np.ndarray) -> jnp.ndarray:
     return jnp.round(y).astype(jnp.int16)
 
 
+def dequantize_idct_traced(coefs: jnp.ndarray, qtab_zz: jnp.ndarray,
+                           H: int, W: int) -> jnp.ndarray:
+    """Dequant + IDCT with a runtime quant table (decoder path: the table
+    comes from the parsed stream, so it must be a traced argument to avoid
+    per-stream recompiles)."""
+    N = tables.idct2d_matrix_zz().astype(np.float32)
+    y = coefs.astype(jnp.float32) * qtab_zz.astype(jnp.float32)[None, :]
+    x = jnp.dot(y, jnp.asarray(N), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    x = jnp.clip(jnp.round(x + 128.0), 0, 255).astype(jnp.int32)
+    return blocks_to_plane(x, H, W)
+
+
 def dequantize_idct(coefs: jnp.ndarray, qtab_zz: np.ndarray,
                     H: int, W: int) -> jnp.ndarray:
     """Dequantize + inverse DCT -> (H, W) int32 samples in [0, 255]."""

@@ -1,0 +1,344 @@
+"""JPEG codestream parser (CPU, numpy-vectorized scan splitting).
+
+Python re-implementation of the reference reader (src/gpujpeg_reader.c):
+marker loop, SOF0/DHT/DQT/DRI/SOS parsing, colorspace deduction from
+component IDs / Adobe APP14 / "CS=ITU601" COM quirk, APP13 segment-info fast
+path, RST-sequence verification with resync recovery, and 0xFF-stuffing
+removal.  The scan splitter is a vectorized memchr equivalent
+(gpujpeg_reader.c:1038-1155 -> numpy flatnonzero over 0xFF positions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..types import (ColorSpace, CorruptStreamError, HeaderType, ImageInfo,
+                     Orientation, Parameters, SamplingFactor,
+                     UnsupportedStreamError)
+from . import markers
+
+log = logging.getLogger("gpujpeg_tpu")
+
+
+@dataclasses.dataclass
+class ScanInfo:
+    comp_indices: List[int]
+    dc_table: List[int]          # per scan component
+    ac_table: List[int]
+    segments: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
+    # byte ranges [start, end) into the original buffer, entropy data only
+    # (RST markers excluded)
+
+
+@dataclasses.dataclass
+class ParsedStream:
+    width: int = 0
+    height: int = 0
+    comp_count: int = 0
+    comp_ids: List[int] = dataclasses.field(default_factory=list)
+    sampling: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
+    quant_map: List[int] = dataclasses.field(default_factory=list)
+    quant_tables: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
+    huff_dc: Dict[int, Tuple[np.ndarray, np.ndarray]] = dataclasses.field(default_factory=dict)
+    huff_ac: Dict[int, Tuple[np.ndarray, np.ndarray]] = dataclasses.field(default_factory=dict)
+    restart_interval: int = 0
+    interleaved: bool = False
+    color_space: ColorSpace = ColorSpace.YCBCR_BT601_256LVLS
+    header_type: HeaderType = HeaderType.DEFAULT
+    comment: Optional[str] = None
+    orientation: Optional[Orientation] = None
+    scans: List[ScanInfo] = dataclasses.field(default_factory=list)
+    segment_info: Dict[int, List[int]] = dataclasses.field(default_factory=dict)
+    adobe_transform: Optional[int] = None
+    data: Optional[np.ndarray] = None  # uint8 view of the input
+
+
+def _u16(data: bytes, off: int) -> int:
+    return struct.unpack_from(">H", data, off)[0]
+
+
+def _deduce_color_space(ps: ParsedStream) -> None:
+    """Colorspace from component IDs and auxiliary markers
+    (gpujpeg_reader.c:746-886, Adobe :558-639, COM quirk :641-672)."""
+    ids = ps.comp_ids
+    if ps.comp_count >= 3 and ids[:3] == [ord("R"), ord("G"), ord("B")]:
+        ps.color_space = ColorSpace.RGB
+        return
+    if ps.adobe_transform == 0 and ps.comp_count == 3:
+        ps.color_space = ColorSpace.RGB
+        return
+    if ps.comment == "CS=ITU601":
+        ps.color_space = ColorSpace.YCBCR_BT601
+        return
+    # SPIFF header (if present) already set color_space; else JFIF default
+    # full-range BT.601 for IDs 1..3
+
+
+def _read_segment_body(data: np.ndarray, start: int,
+                       n_expected: Optional[int]):
+    """Split scan entropy data at RST markers from `start` (vectorized
+    memchr-style splitter, cf. gpujpeg_reader.c:1038-1155).
+
+    Returns (segments, end_pos) where segments are [st, en) ranges excluding
+    RST markers.  The RST0-7 modulo sequence is verified; on mismatch a
+    warning is logged (the reference additionally resyncs mid-stream,
+    reader.c:1071-1104 — our recovery keeps all segments and realigns).
+    Empty segments between consecutive RSTs are dropped (FFmpeg quirk,
+    reader.c:1131-1134).
+    """
+    n = len(data)
+    ff = np.flatnonzero(data[start:n - 1] == 0xFF) + start
+    nxt = data[ff + 1]
+    significant = (nxt != 0x00) & (nxt != 0xFF)
+    sig_pos = ff[significant]
+    sig_nxt = nxt[significant]
+    is_rst = (sig_nxt >= markers.RST0) & (sig_nxt <= markers.RST0 + 7)
+    non_rst = np.flatnonzero(~is_rst)
+    if len(non_rst):
+        cut = non_rst[0]
+        end_pos = int(sig_pos[cut])
+        rst_pos = sig_pos[:cut]
+        rst_vals = sig_nxt[:cut]
+    else:
+        end_pos = n
+        rst_pos = sig_pos
+        rst_vals = sig_nxt
+    expected = (np.arange(len(rst_vals)) % 8) + markers.RST0
+    bad = rst_vals != expected
+    if bad.any():
+        log.warning("[Recovery] %d restart markers out of sequence",
+                    int(bad.sum()))
+    starts = np.concatenate([[start], rst_pos + 2])
+    ends = np.concatenate([rst_pos, [end_pos]])
+    keep = ends > starts
+    segments = list(zip(starts[keep].tolist(), ends[keep].tolist()))
+    return segments, end_pos
+
+
+def parse(data: bytes) -> ParsedStream:
+    """Parse a full JPEG codestream (gpujpeg_reader_read_image,
+    gpujpeg_reader.c:1619-1736)."""
+    ps = ParsedStream()
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ps.data = arr
+    n = len(data)
+    if n < 4 or data[0] != 0xFF or data[1] != markers.SOI:
+        raise CorruptStreamError("missing SOI")
+    pos = 2
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise CorruptStreamError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == markers.SOI:
+            continue  # nested SOI after SPIFF directory
+        if marker == markers.EOI:
+            break
+        if markers.is_rst(marker):
+            continue
+        length = _u16(data, pos)
+        body = data[pos + 2: pos + length]
+
+        if marker == markers.APP0:
+            if body[:5] == b"JFIF\x00":
+                ps.header_type = HeaderType.JFIF
+        elif marker == markers.APP8:
+            if body[:6] == b"SPIFF\x00":
+                ps.header_type = HeaderType.SPIFF
+                cs_code = body[12]
+                ps.color_space = {
+                    1: ColorSpace.YCBCR_BT709,
+                    3: ColorSpace.YCBCR_BT601_256LVLS,
+                    4: ColorSpace.YCBCR_BT601,
+                    8: ColorSpace.YCBCR_BT601_256LVLS,  # grayscale
+                    10: ColorSpace.RGB,
+                }.get(cs_code, ColorSpace.YCBCR_BT601_256LVLS)
+            elif len(body) >= 4:
+                tag = struct.unpack_from(">I", body, 0)[0]
+                if tag == markers.SPIFF_ENTRY_TAG_ORIENTATION and len(body) >= 6:
+                    ps.orientation = Orientation(rotation=body[4] & 3,
+                                                 flip=bool(body[5] & 1))
+                # EOD entry includes a following SOI inside its length
+                if tag == markers.SPIFF_ENTRY_TAG_EOD:
+                    pos += length
+                    continue
+        elif marker == markers.APP1:
+            from . import exif
+            try:
+                meta = exif.parse_exif(bytes(body))
+                if meta.get("orientation") is not None:
+                    ps.orientation = meta["orientation"]
+            except Exception:
+                log.debug("unparseable Exif APP1")
+            ps.header_type = HeaderType.EXIF
+        elif marker == markers.APP13:
+            # GPUJPEG segment-info (gpujpeg_reader.c:347-390)
+            if length >= 3:
+                scan_index = body[0]
+                payload = np.frombuffer(bytes(body[1:]), dtype=">u4")
+                ps.segment_info.setdefault(scan_index, []).extend(
+                    int(x) for x in payload)
+        elif marker == markers.APP14:
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                ps.adobe_transform = body[11]
+                ps.header_type = HeaderType.ADOBE
+        elif marker == markers.COM:
+            text = bytes(body).split(b"\x00")[0].decode("latin1",
+                                                        errors="replace")
+            if ps.comment is None or text.startswith("CS="):
+                if text == "CS=ITU601":
+                    ps.color_space = ColorSpace.YCBCR_BT601
+                if ps.comment is None:
+                    ps.comment = text
+        elif marker == markers.DQT:
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4 != 0:
+                    raise UnsupportedStreamError("16-bit quant tables")
+                idx = pq_tq & 0x0F
+                ps.quant_tables[idx] = np.frombuffer(
+                    bytes(body[off + 1:off + 65]), dtype=np.uint8
+                ).astype(np.int32)
+                off += 65
+        elif marker in (markers.SOF0, markers.SOF1):
+            precision = body[0]
+            if precision != 8:
+                raise UnsupportedStreamError(f"{precision}-bit precision")
+            ps.height = _u16(body, 1)
+            ps.width = _u16(body, 3)
+            ps.comp_count = body[5]
+            for i in range(ps.comp_count):
+                cid = body[6 + 3 * i]
+                samp = body[7 + 3 * i]
+                tq = body[8 + 3 * i]
+                ps.comp_ids.append(cid)
+                ps.sampling.append((samp >> 4, samp & 0x0F))
+                ps.quant_map.append(tq)
+        elif marker in (markers.SOF2, markers.SOF3, markers.SOF5,
+                        markers.SOF6, markers.SOF7, markers.SOF9,
+                        markers.SOF10, markers.SOF11, markers.SOF13,
+                        markers.SOF14, markers.SOF15, markers.DAC):
+            raise UnsupportedStreamError(
+                f"unsupported SOF/DAC marker 0xFF{marker:02X} "
+                "(progressive/lossless/arithmetic)")
+        elif marker == markers.DHT:
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                tc, th = tc_th >> 4, tc_th & 0x0F
+                bits = np.zeros(17, np.int32)
+                bits[1:] = np.frombuffer(bytes(body[off + 1:off + 17]),
+                                         np.uint8)
+                nval = int(bits.sum())
+                vals = np.frombuffer(
+                    bytes(body[off + 17:off + 17 + nval]), np.uint8
+                ).astype(np.int32)
+                (ps.huff_dc if tc == 0 else ps.huff_ac)[th] = (bits, vals)
+                off += 17 + nval
+        elif marker == markers.DRI:
+            ri = _u16(body, 0)
+            ps.restart_interval = ri
+        elif marker == markers.SOS:
+            ns = body[0]
+            scan = ScanInfo(comp_indices=[], dc_table=[], ac_table=[])
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                tabs = body[2 + 2 * i]
+                try:
+                    ci = ps.comp_ids.index(cid)
+                except ValueError:
+                    raise CorruptStreamError(f"SOS component id {cid} "
+                                             "not in SOF")
+                scan.comp_indices.append(ci)
+                scan.dc_table.append(tabs >> 4)
+                scan.ac_table.append(tabs & 0x0F)
+            scan_data_start = pos + length
+            si = ps.segment_info.get(len(ps.scans))
+            if si:
+                # O(1) segment split from APP13 offsets (reader.c:1167-1232)
+                base = scan_data_start
+                segs = []
+                for a, b in zip(si[:-1], si[1:]):
+                    end = base + b
+                    # strip the trailing RST marker from each but last segment
+                    segs.append((base + a, end - 2 if b != si[-1] else end))
+                segs[-1] = (base + si[-2], base + si[-1])
+                scan.segments = segs
+                end_pos = base + si[-1]
+            else:
+                scan.segments, end_pos = _read_segment_body(
+                    arr, scan_data_start, None)
+            ps.scans.append(scan)
+            ps.interleaved = ns > 1
+            pos = end_pos
+            continue
+        pos += length
+    _deduce_color_space(ps)
+    return ps
+
+
+def unstuff(arr: np.ndarray) -> np.ndarray:
+    """Remove 0x00 bytes following 0xFF (vectorized)."""
+    if len(arr) == 0:
+        return arr
+    is_stuff = np.zeros(len(arr), dtype=bool)
+    ff = np.flatnonzero(arr[:-1] == 0xFF)
+    is_stuff[ff + 1] = arr[ff + 1] == 0
+    # consecutive FF00 FF00: the 0 after a stuffed 0? A stuffed 0x00 can't be
+    # 0xFF so no chaining issue.
+    return arr[~is_stuff]
+
+
+def parsed_to_parameters(ps: ParsedStream) -> Parameters:
+    """Build encode-style Parameters describing the parsed stream."""
+    sf = tuple(SamplingFactor(h, v) for (h, v) in ps.sampling)
+    sf = sf + (SamplingFactor(1, 1),) * (4 - len(sf))
+    return Parameters(
+        quality=0,
+        restart_interval=ps.restart_interval,
+        interleaved=ps.interleaved,
+        comp_count=ps.comp_count,
+        sampling_factor=sf,
+        color_space_internal=ps.color_space,
+    )
+
+
+def get_image_info(data: bytes) -> ImageInfo:
+    """Lightweight probe (gpujpeg_reader_get_image_info,
+    gpujpeg_reader.c:1739-1870)."""
+    ps = parse(data)
+    from ..types import PixelFormat
+    if ps.comp_count == 1:
+        pf = PixelFormat.U8
+    elif ps.comp_count == 4:
+        pf = PixelFormat.P4444_U8_P0123
+    else:
+        samp = ps.sampling
+        if all(s == (1, 1) for s in samp):
+            pf = PixelFormat.P444_U8_P012
+        elif samp[0] == (2, 2):
+            pf = PixelFormat.P420_U8_P0P1P2
+        elif samp[0] == (2, 1):
+            pf = PixelFormat.P422_U8_P0P1P2
+        else:
+            pf = PixelFormat.NONE
+    quality = None
+    if ps.comment and "quality = " in ps.comment:
+        try:
+            quality = int(ps.comment.split("quality = ")[1])
+        except ValueError:
+            pass
+    return ImageInfo(
+        width=ps.width, height=ps.height, comp_count=ps.comp_count,
+        color_space=ps.color_space, pixel_format=pf,
+        interleaved=ps.interleaved, restart_interval=ps.restart_interval,
+        segment_count=sum(len(s.segments) for s in ps.scans),
+        header_type=ps.header_type, quality=quality, comment=ps.comment,
+        orientation=ps.orientation,
+    )

@@ -1,0 +1,115 @@
+"""Decoder tests: own-stream roundtrips + foreign (PIL/libjpeg) streams."""
+
+import io
+
+import numpy as np
+import pytest
+
+from gpujpeg_tpu import (ColorSpace, Decoder, Encoder, ImageParameters,
+                         Parameters, PixelFormat)
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+from .test_encode import psnr, smooth_image  # noqa: E402
+
+
+def pil_decode(data: bytes) -> np.ndarray:
+    return np.asarray(Image.open(io.BytesIO(data)))
+
+
+def test_roundtrip_rgb_matches_pil(rng):
+    """Our decoder and libjpeg must agree on our own stream (IDCT rounding
+    may differ by ±1 per sample)."""
+    img = smooth_image(rng, 64, 80, 3)
+    enc, dec = Encoder(), Decoder()
+    data = enc.encode(img, Parameters(quality=85, restart_interval=4))
+    ours = dec.decode(data)
+    ref = pil_decode(data)
+    assert ours.shape == ref.shape
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+    assert psnr(img, ours) > 30
+
+
+def test_roundtrip_gray(rng):
+    img = np.asarray(smooth_image(rng, 56, 72, 3))[..., 0]
+    enc, dec = Encoder(), Decoder()
+    data = enc.encode(img, Parameters(quality=90, restart_interval=4))
+    ours = dec.decode(data)
+    ref = pil_decode(data)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_roundtrip_interleaved_420(rng):
+    img = smooth_image(rng, 64, 64, 3)
+    enc, dec = Encoder(), Decoder()
+    p = Parameters(quality=85, restart_interval=2, interleaved=True)
+    p = p.chroma_subsampled(((2, 2), (1, 1), (1, 1)))
+    data = enc.encode(img, p)
+    ours = dec.decode(data)
+    ref = pil_decode(data)
+    # libjpeg uses fancy (bilinear) chroma upsampling; we use nearest like
+    # the reference postprocessor — compare at PSNR level
+    assert psnr(ref, ours) > 30, psnr(ref, ours)
+    assert psnr(img, ours) > 27, psnr(img, ours)
+
+
+def test_roundtrip_odd_size(rng):
+    img = smooth_image(rng, 41, 67, 3)
+    enc, dec = Encoder(), Decoder()
+    data = enc.encode(img, Parameters(quality=90, restart_interval=2))
+    ours = dec.decode(data)
+    assert ours.shape == img.shape
+    assert psnr(img, ours) > 30
+
+
+def test_decode_foreign_pil_stream(rng):
+    """Decode a libjpeg-produced baseline stream (no restart markers)."""
+    img = smooth_image(rng, 48, 48, 3)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90,
+                              subsampling=0)  # 4:4:4
+    data = buf.getvalue()
+    dec = Decoder()
+    ours = dec.decode(data)
+    ref = pil_decode(data)
+    assert ours.shape == ref.shape
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_decode_foreign_pil_420(rng):
+    img = smooth_image(rng, 48, 64, 3)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=85,
+                              subsampling=2)  # 4:2:0
+    data = buf.getvalue()
+    dec = Decoder()
+    ours = dec.decode(data)
+    ref = pil_decode(data)
+    # chroma upsampling differs (we use nearest, libjpeg uses fancy); compare
+    # against the source instead
+    assert psnr(img, ours) > 25
+    assert psnr(ref, ours) > 30
+
+
+def test_entropy_lossless_roundtrip(rng):
+    """Encode -> decode with quality 100 (quant ~1) must be near-exact."""
+    img = smooth_image(rng, 32, 32, 3)
+    enc, dec = Encoder(), Decoder()
+    data = enc.encode(img, Parameters(quality=100, restart_interval=2))
+    ours = dec.decode(data)
+    # color transform + DCT roundoff only
+    assert np.abs(ours.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_image_info_probe(rng):
+    img = smooth_image(rng, 40, 56, 3)
+    enc, dec = Encoder(), Decoder()
+    data = enc.encode(img, Parameters(quality=77, restart_interval=4))
+    info = dec.get_image_info(data)
+    assert (info.width, info.height) == (56, 40)
+    assert info.comp_count == 3
+    assert info.restart_interval == 4
+    assert info.quality == 77
+    assert info.segment_count > 0
+    assert "GPUJPEG" in info.comment
