@@ -89,8 +89,8 @@ def _encode_luts(quality: int, table_indices: Tuple[bool, ...]):
     return qtabs, dc_lut, ac_lut
 
 
-def make_tokens_fn(geo: Geometry):
-    """Build the jitted raw->tokens function for one geometry."""
+def make_tokens_impl(geo: Geometry):
+    """Build the (unjitted) raw->tokens device function for one geometry."""
     qtabs, dc_lut, ac_lut = _encode_luts(geo.param.quality, ())
     stream_perm = geo.stream_to_storage
     identity_perm = bool(np.array_equal(stream_perm,
@@ -128,7 +128,31 @@ def make_tokens_fn(geo: Geometry):
         ntok = jnp.sum((lens_rows > 0).astype(jnp.int32)) + nseg  # + pad tokens
         return bits_rows, lens_rows, seg_bytes, ntok
 
-    return jax.jit(fn)
+    return fn
+
+
+def make_tokens_fn(geo: Geometry):
+    """Jitted raw->tokens function for one geometry."""
+    return jax.jit(make_tokens_impl(geo))
+
+
+def make_device_encode_fn(geo: Geometry, cap_tokens: int, cap_words: int):
+    """One jittable function for the FULL device-side encode:
+    raw image -> (packed words, per-segment byte counts).
+
+    Capacities are static; the session Encoder picks them adaptively, while
+    fixed-capacity callers (benchmarks, sharded batch encoding) pin them.
+    """
+    tokens_impl = make_tokens_impl(geo)
+
+    def fn(raw):
+        bits_rows, lens_rows, seg_bytes, _ = tokens_impl(raw)
+        words, _, _ = pack.pack_segments(
+            bits_rows, lens_rows, cap_tokens=cap_tokens,
+            cap_words=cap_words, k_window=K_WINDOW)
+        return words, seg_bytes
+
+    return fn
 
 
 class Encoder:

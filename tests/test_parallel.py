@@ -1,0 +1,75 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from gpujpeg_tpu import ImageParameters, ColorSpace, Parameters, PixelFormat
+from gpujpeg_tpu.parallel import batch as pbatch
+from gpujpeg_tpu.parallel import mesh as pmesh
+
+from .test_encode import psnr, smooth_image
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+import io  # noqa: E402
+
+
+def pil_decode(data):
+    return np.asarray(Image.open(io.BytesIO(data)))
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return pmesh.make_mesh(8, data=4, seg=2)
+
+
+def test_batch_encode_frames_and_segments(mesh8, rng):
+    """4-way frame sharding x 2-way segment sharding; streams must decode
+    with PIL at the same quality as single-device encoding."""
+    H, W = 64, 64
+    param = Parameters(quality=85, restart_interval=8)  # 8 blocks/seg = 1 row
+    pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    frames = np.stack([smooth_image(rng, H, W, 3) for _ in range(4)])
+    be = pbatch.BatchEncoder(mesh8, param, pi, cap_tokens=1 << 15,
+                             cap_words=1 << 12)
+    streams = be.encode_batch(frames)
+    assert len(streams) == 4
+    for i, s in enumerate(streams):
+        dec = pil_decode(s)
+        assert dec.shape == (H, W, 3)
+        assert psnr(frames[i], dec) > 30, psnr(frames[i], dec)
+
+
+def test_sharded_equals_single_device(mesh8, rng):
+    """Segment sharding must be bit-identical to single-device encoding."""
+    from gpujpeg_tpu import Encoder
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = pmesh.make_mesh(8, data=1, seg=8)  # pure segment sharding
+    H, W = 64, 64
+    param = Parameters(quality=85, restart_interval=8)
+    pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    img = smooth_image(rng, H, W, 3)
+    be = pbatch.BatchEncoder(mesh, param, pi, cap_tokens=1 << 15,
+                             cap_words=1 << 12)
+    sharded = be.encode_batch(img[None])[0]
+    single = Encoder().encode(img, param, pi)
+    assert sharded == single
+
+
+def test_stripe_alignment():
+    from gpujpeg_tpu.utils.geometry import get_geometry
+    param = Parameters(quality=75, restart_interval=8, comp_count=3)
+    pi = ImageParameters(width=64, height=64,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    geo = get_geometry(param, pi)
+    # 64px wide 444 -> 8 blocks per row; rst 8 -> 1 block row = 8 px
+    assert pbatch.stripe_alignment(geo) == 8
+    assert pbatch.shardable(geo, 2)
+    assert pbatch.shardable(geo, 8)
