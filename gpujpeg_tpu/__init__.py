@@ -7,6 +7,10 @@ pre/postprocessing, and mesh-sharded batch encoding.
 
 __version__ = "0.1.0"
 
+from .jaxinit import ensure_cache as _ensure_cache
+
+_ensure_cache()
+
 from .types import (  # noqa: F401
     ColorSpace,
     HeaderType,

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import dct, pack, sample, tokens
-from ..stream import assemble, writer as jwriter
+from ..stream import writer as jwriter
 from ..types import (ColorSpace, ImageParameters, Parameters, PixelFormat,
                      RESTART_AUTO, pixel_format_comp_count,
                      pixel_format_sampling)
@@ -155,27 +155,101 @@ def make_device_encode_fn(geo: Geometry, cap_tokens: int, cap_words: int):
     return fn
 
 
+def make_full_encode_fn(geo: Geometry, cap_tokens: int, cap_words: int,
+                        cap_body: int):
+    """The complete device-side encode as ONE jittable program:
+
+        raw -> preprocess -> DCT+quant (MXU) -> tokenize -> segment-parallel
+        pack -> byte stuffing + restart markers (finalize)
+
+    Only the JPEG headers are produced on host; the scan bodies leave the
+    device fully formed (the reference's CPU stream formatter,
+    gpujpeg_encoder.c:566-624, runs on-device here because host<->device
+    bandwidth, not compute, is the scarce resource on TPU).
+
+    Returns fn(raw) -> dict with:
+      body:    (cap_body,) uint8 stuffed scan bodies (concatenated)
+      meta:    (3 + 2*scan_count,) int32
+               [live_tokens, unstuffed_bytes, body_bytes,
+                scan starts..., scan ends...] — a single vector so the
+               per-frame host readback is ONE small fetch
+      seg_out: (nseg,) int32 per-segment body offsets (APP13 segment info;
+               only fetched when requested)
+    """
+    tokens_impl = make_tokens_impl(geo)
+    scan_first = geo.scan_seg_bounds[:-1].astype(np.int32)
+    scan_last = (geo.scan_seg_bounds[1:] - 1).astype(np.int32)
+
+    def fn(raw):
+        bits_rows, lens_rows, seg_bytes, _ = tokens_impl(raw)
+        words, _, count = pack.pack_segments(
+            bits_rows, lens_rows, cap_tokens=cap_tokens,
+            cap_words=cap_words, k_window=K_WINDOW)
+        body, seg_out, seg_end_out, total_out = pack.finalize_scan_bodies(
+            words, seg_bytes, geo.rst_marker, geo.rst_shift, cap_body)
+        total_in = jnp.sum(seg_bytes)
+        meta = jnp.concatenate([
+            jnp.stack([count, total_in, total_out]),
+            seg_out[jnp.asarray(scan_first)],
+            seg_end_out[jnp.asarray(scan_last)],
+        ])
+        return {"body": body, "meta": meta, "seg_out": seg_out}
+
+    return fn
+
+
+@dataclasses.dataclass
+class _Caps:
+    """Sticky jit capacities per geometry (grown on overflow, then reused)."""
+
+    tokens: int
+    words: int
+    body: int
+
+
+def _initial_caps(geo: Geometry) -> _Caps:
+    """Content-independent initial guess; exact needs replace it on the
+    first overflow (the program recompiles at most twice per geometry)."""
+    blocks = geo.total_blocks
+    cap_tokens = _bucket(blocks * 20 + geo.segment_count)
+    cap_body = _bucket(max(blocks * 40, 1 << 16))
+    return _Caps(tokens=cap_tokens, words=cap_body // 4, body=cap_body)
+
+
 class Encoder:
     """Persistent encoder session (create once, encode many frames)."""
 
     def __init__(self) -> None:
-        self._tokens_fns: Dict[Geometry, object] = {}
+        self._fns: Dict[Tuple, object] = {}
+        self._caps: Dict[Geometry, _Caps] = {}
         self.stats = DurationStats()
         self._frames = 0
+        self.segment_info = False
 
     # -- options (gpujpeg_encoder_set_option, gpujpeg_encoder.c:736-795) -----
     def set_option(self, key: str, value: str) -> None:
         raise NotImplementedError(f"option {key!r} not supported yet")
 
-    def encode(self, image, param: Optional[Parameters] = None,
-               param_image: Optional[ImageParameters] = None) -> bytes:
-        """Encode one raw image to a JPEG codestream.
+    def _get_fn(self, geo: Geometry, caps: _Caps):
+        key = (geo, caps.tokens, caps.words, caps.body)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(make_full_encode_fn(
+                geo, caps.tokens, caps.words, caps.body))
+            self._fns[key] = fn
+        return fn
 
-        image: numpy/JAX uint8 array — (H, W, C) / (H, W) for interleaved
-        formats, flat (N,) for planar formats.
+    def encode_to_device(self, image, param: Optional[Parameters] = None,
+                         param_image: Optional[ImageParameters] = None,
+                         check: bool = True):
+        """Device-side encode: returns (geo, result-dict, meta) with the
+        stuffed scan bodies still on device (see make_full_encode_fn).
+        Capacities are sticky per geometry and grown on overflow.
+
+        check=False skips the capacity-overflow readback (meta is None);
+        use only when the caps were already validated for comparable
+        content (e.g. a fixed-camera frame pipeline or a benchmark loop).
         """
-        t0 = time.perf_counter()
-        image = np.asarray(image) if not isinstance(image, jax.Array) else image
         if param_image is None:
             if image.ndim < 2:
                 raise ValueError("param_image required for flat buffers")
@@ -189,33 +263,74 @@ class Encoder:
         param = adjust_params(param or Parameters(), param_image)
         geo = get_geometry(param, param_image)
 
-        fn = self._tokens_fns.get(geo)
-        if fn is None:
-            fn = make_tokens_fn(geo)
-            self._tokens_fns[geo] = fn
-
+        caps = self._caps.get(geo)
+        if caps is None:
+            caps = _initial_caps(geo)
+            self._caps[geo] = caps
         x = jnp.asarray(image)
-        bits_rows, lens_rows, seg_bytes_d, ntok = fn(x)
-        seg_bytes = np.asarray(seg_bytes_d)
-        ntok_i = int(ntok)
-        total_bytes = int(seg_bytes.sum())
-        cap_tokens = _bucket(ntok_i + 1)
-        cap_words = _bucket((total_bytes + 3) // 4, lo=1024)
 
-        words, _, count = pack.pack_segments(
-            bits_rows, lens_rows, cap_tokens=cap_tokens,
-            cap_words=cap_words, k_window=K_WINDOW)
+        if not check:
+            return geo, self._get_fn(geo, caps)(x), None
+
+        for _ in range(3):
+            res = self._get_fn(geo, caps)(x)
+            # NOTE: fetching a result before it is ready takes a pathological
+            # slow path on some host links — always block first.
+            jax.block_until_ready(res["meta"])
+            meta = np.asarray(res["meta"])
+            ntok, total_in, total_out = (int(v) for v in meta[:3])
+            need_words = (total_in + 3) // 4
+            if (ntok < caps.tokens and need_words <= caps.words
+                    and total_out <= caps.body):
+                return geo, res, meta
+            caps = _Caps(tokens=_bucket(max(2 * ntok + 2, caps.tokens)),
+                         words=_bucket(max(need_words * 2, caps.words),
+                                       lo=1024),
+                         body=_bucket(max(total_out * 2, caps.body),
+                                      lo=4096))
+            self._caps[geo] = caps
+        raise RuntimeError("encode capacity did not converge")
+
+    def encode(self, image, param: Optional[Parameters] = None,
+               param_image: Optional[ImageParameters] = None) -> bytes:
+        """Encode one raw image to a JPEG codestream.
+
+        image: numpy/JAX uint8 array — (H, W, C) / (H, W) for interleaved
+        formats, flat (N,) for planar formats.
+        """
+        t0 = time.perf_counter()
+        image = np.asarray(image) if not isinstance(image, jax.Array) else image
+        geo, res, meta = self.encode_to_device(image, param, param_image)
+        ns = geo.scan_count
+        scan_start = meta[3:3 + ns]
+        scan_end = meta[3 + ns:3 + 2 * ns]
+        total_out = int(meta[2])
         t1 = time.perf_counter()
 
-        compact = np.asarray(words).astype(">u4").view(np.uint8)
-        header = jwriter.write_header(geo)
-        out = assemble.assemble(geo, header, compact[:total_bytes], seg_bytes)
+        body_dev = res["body"][:total_out]
+        jax.block_until_ready(body_dev)
+        body = np.asarray(body_dev)
         t2 = time.perf_counter()
 
+        out = bytearray(jwriter.write_header(geo))
+        want_seginfo = geo.param.segment_info or self.segment_info
+        seg_out = np.asarray(res["seg_out"]) if want_seginfo else None
+        for k in range(geo.scan_count):
+            if want_seginfo and geo.param.restart_interval > 0:
+                b0, b1 = geo.scan_seg_bounds[k], geo.scan_seg_bounds[k + 1]
+                offs = np.concatenate([seg_out[b0:b1], [scan_end[k]]])
+                out += jwriter.write_segment_info_headers(
+                    k, offs - int(scan_start[k]))
+            out += jwriter.write_scan_header(geo, k)
+            out += body[int(scan_start[k]):int(scan_end[k])].tobytes()
+        out += b"\xff\xd9"
+        t3 = time.perf_counter()
+
         self.stats.duration_in_gpu = (t1 - t0) * 1000.0
-        self.stats.duration_stream = (t2 - t1) * 1000.0
+        self.stats.duration_memory_from = (t2 - t1) * 1000.0
+        self.stats.duration_stream = (t3 - t2) * 1000.0
         self._frames += 1
-        return out
+        return bytes(out)
 
     def get_stats(self) -> DurationStats:
         return self.stats

@@ -157,3 +157,80 @@ def pack_segments(bits_rows, lens_rows, cap_tokens: int, cap_words: int,
 def token_bit_lengths(lens_rows: jnp.ndarray):
     """(nseg,) total coded bits per segment (pre-padding), for sizing."""
     return jnp.sum(lens_rows, axis=1, dtype=jnp.int32)
+
+
+def bytes_from_words(words: jnp.ndarray) -> jnp.ndarray:
+    """(W,) uint32 big-endian packed -> (4W,) uint8, pure elementwise."""
+    b = jnp.stack([(words >> 24) & 0xFF, (words >> 16) & 0xFF,
+                   (words >> 8) & 0xFF, words & 0xFF], axis=-1)
+    return b.reshape(-1).astype(jnp.uint8)
+
+
+def finalize_scan_bodies(words, seg_bytes, rst_marker, rst_shift,
+                         cap_body: int):
+    """Device-side stream formatter: 0xFF byte stuffing + restart markers.
+
+    Replaces the reference's CPU stream assembly loop
+    (gpujpeg_encoder.c:566-624) with one vectorized scatter: every unstuffed
+    byte's output position is its index plus the count of stuffed zeros
+    before it (cumsum) plus the static RST-marker shift of its segment;
+    stuffed 0x00 bytes appear for free as zero-initialized gaps.
+
+    words:      (cap_words,) uint32 BE-packed unstuffed segment bytes
+                (byte-aligned, concatenated in global segment order)
+    seg_bytes:  (nseg,) int32 per-segment byte counts
+    rst_marker: (nseg,) uint8 static: second byte of the RST marker written
+                after segment i (0 = no marker: scan-final or rst disabled)
+    rst_shift:  (nseg,) int32 static: 2 * markers before segment i
+    cap_body:   static output capacity
+
+    Returns (body, seg_out, seg_end_out, total_out):
+      body:        (cap_body,) uint8 stuffed scan bodies, concatenated in
+                   scan order (RST markers included, scan-final RST absent)
+      seg_out:     (nseg,) int32 output offset of each segment's first byte
+      seg_end_out: (nseg,) int32 output offset just past each segment's
+                   stuffed data (before its RST marker)
+      total_out:   () int32 total bytes used in body
+    """
+    nseg = seg_bytes.shape[0]
+    cap_bytes = words.shape[0] * 4
+    seg_start = jnp.cumsum(seg_bytes) - seg_bytes
+    total_in = seg_start[-1] + seg_bytes[-1]
+
+    b = bytes_from_words(words)
+    i = jax.lax.broadcasted_iota(jnp.int32, (cap_bytes, 1), 0).reshape(-1)
+    valid = i < total_in
+    is_ff = ((b == 0xFF) & valid).astype(jnp.int32)
+    csum_ff = jnp.cumsum(is_ff)             # inclusive
+    nff_before = csum_ff - is_ff            # exclusive
+
+    # segment id of each byte: scatter-add segment-start marks, cumsum
+    mark = jnp.zeros(cap_bytes + 1, jnp.int32).at[seg_start].add(
+        1, mode="drop", indices_are_sorted=True)
+    seg_of = jnp.cumsum(mark[:cap_bytes]) - 1
+    seg_of = jnp.clip(seg_of, 0, nseg - 1)
+
+    shift_tab = jnp.asarray(rst_shift)
+    out_pos = i + nff_before + shift_tab[seg_of]
+    body = jnp.zeros(cap_body, jnp.uint8).at[
+        jnp.where(valid, out_pos, cap_body)].set(
+        b, mode="drop", indices_are_sorted=True, unique_indices=True)
+
+    # per-segment stuffed output offsets
+    csum_ff_ext = jnp.concatenate([jnp.zeros(1, jnp.int32), csum_ff])
+    seg_end_in = seg_start + seg_bytes
+    seg_out = seg_start + csum_ff_ext[seg_start] + shift_tab
+    seg_end_out = seg_end_in + csum_ff_ext[seg_end_in] + shift_tab
+
+    # restart markers (0xFF, 0xD0+i%8) after non-final segments
+    has_rst = jnp.asarray(rst_marker) != 0
+    rpos = jnp.where(has_rst, seg_end_out, cap_body)
+    body = body.at[rpos].set(jnp.uint8(0xFF), mode="drop",
+                             indices_are_sorted=True, unique_indices=True)
+    body = body.at[jnp.where(has_rst, rpos + 1, cap_body + 1)].set(
+        jnp.asarray(rst_marker), mode="drop",
+        indices_are_sorted=True, unique_indices=True)
+
+    n_rst = jnp.sum(has_rst.astype(jnp.int32))
+    total_out = total_in + csum_ff[-1] + 2 * n_rst
+    return body, seg_out, seg_end_out, total_out

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models import encoder as enc_mod
 from ..stream import assemble, writer as jwriter
@@ -93,7 +93,7 @@ def make_batch_encode_fn(mesh: Mesh, param: Parameters,
         shard_fn, mesh=mesh,
         in_specs=(P("data", "seg"),),
         out_specs=(P("data", "seg"), P("data", "seg"), P("data", "seg")),
-        check_rep=False,
+        check_vma=False,
     )
     return mapped, geo_local
 

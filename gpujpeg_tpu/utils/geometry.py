@@ -262,6 +262,28 @@ class Geometry:
                 c.segment_count for c in self.components
             )
 
+        # static restart-marker placement (gpujpeg_encoder.c:566-624: RST(i%8)
+        # after each segment, final RST of every scan dropped)
+        use_rst = self.param.restart_interval > 0
+        present, marker = [], []
+        for nsc in self.scan_segment_counts:
+            for i in range(nsc):
+                p = use_rst and (i < nsc - 1)
+                present.append(p)
+                marker.append(0xD0 + (i % 8) if p else 0)
+        #: (nseg,) bool: RST marker follows this segment in the stream
+        self.rst_present = np.asarray(present, dtype=bool)
+        #: (nseg,) uint8: second byte of that RST marker (0xD0 + i%8)
+        self.rst_marker = np.asarray(marker, dtype=np.uint8)
+        #: (nseg,) int32: 2*(number of RST markers before this segment)
+        self.rst_shift = np.zeros(self.segment_count, dtype=np.int32)
+        if self.segment_count > 1:
+            self.rst_shift[1:] = 2 * np.cumsum(
+                self.rst_present[:-1].astype(np.int32))
+        #: (scan_count+1,) segment-index boundaries of each scan
+        self.scan_seg_bounds = np.concatenate(
+            [[0], np.cumsum(self.scan_segment_counts)]).astype(np.int64)
+
     # -- misc ------------------------------------------------------------------
 
     @property
