@@ -76,7 +76,15 @@ class Decoder:
         if not ps.scans:
             raise CorruptStreamError("no scan in stream")
         param = reader.parsed_to_parameters(ps)
-        out_pi = param_image or default_output(ps)
+        defaults = default_output(ps)
+        out_pi = param_image or defaults
+        # resolve unset fields from the stream defaults (the reference's
+        # pseudo-format handling, gpujpeg_reader.c:1507-1616)
+        if out_pi.pixel_format == PixelFormat.NONE:
+            out_pi = out_pi.with_(pixel_format=defaults.pixel_format)
+        if out_pi.color_space == ColorSpace.NONE and \
+                defaults.color_space != ColorSpace.NONE:
+            out_pi = out_pi.with_(color_space=defaults.color_space)
         out_pi = out_pi.with_(width=ps.width, height=ps.height)
         geo = get_geometry(param, out_pi)
 

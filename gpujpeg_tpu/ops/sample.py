@@ -123,6 +123,44 @@ def preprocess(raw, geo: Geometry, pi: ImageParameters) -> List[jnp.ndarray]:
     return planes
 
 
+def pack_channels(chans: jnp.ndarray, pi: ImageParameters) -> jnp.ndarray:
+    """(H, W, C) int channels -> raw buffer shaped for pi.pixel_format
+    (interleaved: (H, W[, C]) uint8; planar/packed: flat (N,))."""
+    W, H = pi.width, pi.height
+    pf = pi.pixel_format
+    if pf == PixelFormat.U8:
+        return chans[..., 0].astype(jnp.uint8)
+    if pf == PixelFormat.P444_U8_P012:
+        return chans[..., :3].astype(jnp.uint8)
+    if pf == PixelFormat.P4444_U8_P0123:
+        if chans.shape[-1] < 4:
+            alpha = jnp.full(chans.shape[:-1] + (1,), 255, jnp.int32)
+            chans = jnp.concatenate([chans, alpha], axis=-1)
+        return chans.astype(jnp.uint8)
+    if pf == PixelFormat.P422_U8_P1020:
+        y = chans[..., 0]
+        u = chans[:, ::2, 1]
+        v = chans[:, ::2, 2]
+        out = jnp.stack([u, y[:, ::2], v, y[:, 1::2]], axis=-1)
+        return out.reshape(H, W * 2).astype(jnp.uint8).reshape(-1)
+    if pf in (PixelFormat.P444_U8_P0P1P2, PixelFormat.P422_U8_P0P1P2,
+              PixelFormat.P420_U8_P0P1P2):
+        from ..types import pixel_format_sampling
+        sampling = pixel_format_sampling(pf)
+        max_h = max(s[0] for s in sampling)
+        max_v = max(s[1] for s in sampling)
+        parts = []
+        for i, (sh, sv) in enumerate(sampling):
+            cw = (W * sh + max_h - 1) // max_h
+            ch = (H * sv + max_v - 1) // max_v
+            dh, dw = max_v // sv, max_h // sh
+            p = chans[::dh, ::dw, i][:ch, :cw]
+            p = jnp.pad(p, ((0, ch - p.shape[0]), (0, cw - p.shape[1])))
+            parts.append(p.reshape(-1))
+        return jnp.concatenate(parts).astype(jnp.uint8)
+    raise ValueError(f"unsupported pixel format {pf}")
+
+
 def postprocess(planes: Sequence[jnp.ndarray], geo: Geometry,
                 pi: ImageParameters) -> jnp.ndarray:
     """Decode-side postprocessor: per-component planes -> packed raw image.
@@ -157,34 +195,4 @@ def postprocess(planes: Sequence[jnp.ndarray], geo: Geometry,
         chans = (jnp.concatenate([rgb, chans[..., 3:]], axis=-1)
                  if chans.shape[-1] > 3 else rgb)
 
-    if pf == PixelFormat.U8:
-        return chans[..., 0].astype(jnp.uint8)
-    if pf == PixelFormat.P444_U8_P012:
-        return chans[..., :3].astype(jnp.uint8)
-    if pf == PixelFormat.P4444_U8_P0123:
-        if chans.shape[-1] < 4:
-            alpha = jnp.full(chans.shape[:-1] + (1,), 255, jnp.int32)
-            chans = jnp.concatenate([chans, alpha], axis=-1)
-        return chans.astype(jnp.uint8)
-    if pf == PixelFormat.P422_U8_P1020:
-        y = chans[..., 0]
-        u = chans[:, ::2, 1]
-        v = chans[:, ::2, 2]
-        out = jnp.stack([u, y[:, ::2], v, y[:, 1::2]], axis=-1)  # (H, W/2, 4)
-        return out.reshape(H, W * 2).astype(jnp.uint8).reshape(-1)
-    if pf in (PixelFormat.P444_U8_P0P1P2, PixelFormat.P422_U8_P0P1P2,
-              PixelFormat.P420_U8_P0P1P2):
-        from ..types import pixel_format_sampling
-        sampling = pixel_format_sampling(pf)
-        max_h = max(s[0] for s in sampling)
-        max_v = max(s[1] for s in sampling)
-        parts = []
-        for i, (sh, sv) in enumerate(sampling):
-            cw = (W * sh + max_h - 1) // max_h
-            ch = (H * sv + max_v - 1) // max_v
-            dh, dw = max_v // sv, max_h // sh
-            p = chans[::dh, ::dw, i][:ch, :cw]
-            p = jnp.pad(p, ((0, ch - p.shape[0]), (0, cw - p.shape[1])))
-            parts.append(p.reshape(-1))
-        return jnp.concatenate(parts).astype(jnp.uint8)
-    raise ValueError(f"unsupported pixel format {pf}")
+    return pack_channels(chans, pi)
