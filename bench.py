@@ -16,11 +16,11 @@ phases:
      capacity convergence, stream assembly, and a PIL decode check.  It
      reports the converged jit capacities and populates the persistent
      compilation cache.
-  2. the parent process re-builds the identical program (compile-cache hit),
-     and times the steady-state device pipeline with jax.block_until_ready
-     only — no fetch ever happens in the timed process, exactly like a
-     production pipeline that hands the device-resident stream to the next
-     device-side consumer.
+  2. the parent process re-builds the identical program (compile-cache hit)
+     and times it honestly with the DELTA method: N serialized encodes
+     inside one jit program (block_until_ready does not synchronize through
+     this tunnel, so wall-clock deltas between N values are the only true
+     device-time measurement; constants cancel).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Extra diagnostic lines go to stderr.
@@ -31,6 +31,8 @@ import os
 import subprocess
 import sys
 import time
+
+import numpy as np
 
 H, W = 4320, 7680
 BASELINE_MS = 2.45  # RTX 3080, 8K Q75, without PCIe transfers
@@ -83,8 +85,7 @@ def warmup():
 
     geo = next(iter(enc._caps))
     caps = enc._caps[geo]
-    print(json.dumps({"tokens": caps.tokens, "words": caps.words,
-                      "body": caps.body}))
+    print(json.dumps({"pack": list(caps.pack), "stuff": list(caps.stuff)}))
 
 
 def main():
@@ -118,20 +119,42 @@ def main():
     pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
                          pixel_format=PixelFormat.P444_U8_P012)
     geo = get_geometry(enc_mod.adjust_params(param, pi), pi)
-    enc._caps[geo] = enc_mod._Caps(**caps_json)
-    geo, res, _ = enc.encode_to_device(frame, param, check=False)
-    jax.block_until_ready(res["body"])
+    caps = enc_mod.Caps(pack=tuple(caps_json["pack"]),
+                        stuff=tuple(caps_json["stuff"]))
 
-    n, t_budget = 0, 30.0
-    t0 = time.perf_counter()
-    while True:
-        geo, res, _ = enc.encode_to_device(frame, param, check=False)
-        jax.block_until_ready(res["body"])
-        n += 1
-        dt_all = time.perf_counter() - t0
-        if dt_all > t_budget or n >= 99:
-            break
-    dt = dt_all / n * 1000.0
+    # Honest timing on this rig: block_until_ready does NOT synchronize
+    # through the tunnel, and any fetch costs a large constant.  So run N
+    # serialized encodes INSIDE one jit program (each frame perturbed by the
+    # previous frame's first output word to force true sequential execution),
+    # fetch one element, and report the wall-clock DELTA between N values —
+    # constants (dispatch, fetch, transfer) cancel exactly.
+    import functools
+
+    import jax.numpy as jnp
+
+    base = enc_mod.make_full_encode_fn(geo, caps)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(raw, n):
+        def body(i, carry):
+            res = base(raw.at[0, 0, 0].set(carry))
+            return res["rows"][0, 0].astype(jnp.uint8)
+
+        return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
+
+    _ = np.asarray(loop(frame, 1))  # sacrificial first fetch + compile
+    times = {}
+    n_hi = 9
+    for n in (1, n_hi):
+        _ = np.asarray(loop(frame, n))  # compile this n
+        best = float("inf")
+        for _r in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(frame, n))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+        print(f"[bench] n={n}: {best * 1000:.1f} ms", file=sys.stderr)
+    dt = (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0
 
     print(f"{n} frames, {dt:.2f} ms/frame device pipeline", file=sys.stderr)
     print(json.dumps({

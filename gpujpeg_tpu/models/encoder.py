@@ -1,11 +1,21 @@
 """Encoder session: the TPU-native equivalent of gpujpeg_encoder.
 
 Orchestrates the jit-compiled device pipeline
-    preprocess -> fused DCT+quant (MXU) -> tokenize -> pack (segment-parallel)
-and the host-side codestream assembly, with per-geometry jit caches playing
-the role of the reference's persistent coder buffers
-(gpujpeg_encoder.c:351-643; session-reuse semantics of
-gpujpeg_coder_init_image, gpujpeg_common.c:632-637).
+
+    preprocess -> fused MXU DCT+quant -> gather-free tokenizer
+    -> hierarchical bit-merge pack -> byte-stuffing merge tree (+RST)
+
+and the host-side codestream assembly (headers + per-scan row compaction).
+Mirrors gpujpeg_encoder.c:351-643 with per-geometry jit caches and sticky,
+content-adaptive per-level buffer capacities playing the role of the
+reference's persistent coder buffers (gpujpeg_common.c:632-637, worst-case
+segment allocations :812-871).
+
+The device never performs a gather or scatter (each costs ~10 ns/element on
+TPU through XLA): block order becomes reshape/transpose, the DC predictor
+becomes a shift, Huffman code lookup uses <=16-entry tables (free vector
+selects), and variable-length serialization is a pairwise merge tree
+(ops.bitmerge).
 """
 
 from __future__ import annotations
@@ -13,31 +23,19 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import dct, pack, sample, tokens
+from ..ops import bitmerge, dct, sample, tokens
 from ..stream import writer as jwriter
 from ..types import (ColorSpace, ImageParameters, Parameters, PixelFormat,
                      RESTART_AUTO, pixel_format_comp_count,
                      pixel_format_sampling)
 from ..utils import tables
 from ..utils.geometry import Geometry, get_geometry, suggest_restart_interval
-
-#: pull-window size: floor(32 / min_code_len) + 2 (see ops.pack); the default
-#: Annex-K tables all have min code length 2.
-K_WINDOW = 18
-
-
-def _bucket(n: int, lo: int = 4096) -> int:
-    """Round up to a power-of-two bucket to bound jit recompiles."""
-    b = lo
-    while b < n:
-        b *= 2
-    return b
 
 
 def adjust_params(param: Parameters, pi: ImageParameters) -> Parameters:
@@ -74,146 +72,175 @@ class DurationStats:
 
 
 @functools.lru_cache(maxsize=32)
-def _encode_luts(quality: int, table_indices: Tuple[bool, ...]):
-    """Quant tables + Huffman encode LUTs for luma/chroma slots."""
+def _component_luts(quality: int):
+    """Quant tables + per-class Huffman code tables in tokenizer layout."""
     qtabs = [tables.quant_table_zz(True, quality),
              tables.quant_table_zz(False, quality)]
-    dc_lut = np.stack([
-        tables.huffman_encode_lut(*tables.huffman_spec_for("dc", True), 16),
-        tables.huffman_encode_lut(*tables.huffman_spec_for("dc", False), 16),
-    ])
-    ac_lut = np.stack([
-        tables.huffman_encode_lut(*tables.huffman_spec_for("ac", True), 256),
-        tables.huffman_encode_lut(*tables.huffman_spec_for("ac", False), 256),
-    ])
-    return qtabs, dc_lut, ac_lut
+    dc, ac = [], []
+    for luma in (True, False):
+        dc.append(tables.huffman_encode_lut(
+            *tables.huffman_spec_for("dc", luma), 16)[:12])
+        ac.append(tables.huffman_encode_lut(
+            *tables.huffman_spec_for("ac", luma), 256).reshape(16, 16))
+    return qtabs, dc, ac
 
 
-def make_tokens_impl(geo: Geometry):
-    """Build the (unjitted) raw->tokens device function for one geometry."""
-    qtabs, dc_lut, ac_lut = _encode_luts(geo.param.quality, ())
-    stream_perm = geo.stream_to_storage
-    identity_perm = bool(np.array_equal(stream_perm,
-                                        np.arange(len(stream_perm))))
-    rows = geo.seg_rows
-    valid = rows >= 0
-    rows_clipped = np.maximum(rows, 0)
-    rows_identity = bool(
-        valid.all() and np.array_equal(rows.reshape(-1),
-                                       np.arange(rows.size)))
-    nseg, max_bps = rows.shape
+def make_rows_tokens_impl(geo: Geometry):
+    """Build the raw -> (bits_rows, lens_rows) device function: per-segment
+    token rows (nseg, T) in stream order, assembled purely with
+    reshape/transpose/concat (the reference's device block list,
+    gpujpeg_common.c:1031-1088, becomes layout math)."""
+    qtabs, dc_luts, ac_luts = _component_luts(geo.param.quality)
 
-    def fn(raw):
-        planes = sample.preprocess(raw, geo, geo.param_image)
-        coefs = jnp.concatenate([
-            dct.fdct_quantize(planes[c.index], qtabs[c.table_index])
-            for c in geo.components
-        ], axis=0)
-        if not identity_perm:
-            coefs = coefs[jnp.asarray(stream_perm)]
-        bits, lens = tokens.tokenize(
-            coefs, geo.stream_dc_prev, geo.stream_table_idx, dc_lut, ac_lut)
-        if rows_identity:
-            bits_rows = bits.reshape(nseg, max_bps * 64)
-            lens_rows = lens.reshape(nseg, max_bps * 64)
-        else:
-            bits_rows = bits[jnp.asarray(rows_clipped)].reshape(nseg, -1)
-            lens_rows = lens[jnp.asarray(rows_clipped)].reshape(nseg, -1)
-            lens_rows = jnp.where(
-                jnp.asarray(valid).reshape(nseg, max_bps, 1)
-                   .repeat(64, axis=2).reshape(nseg, -1),
-                lens_rows, 0)
-        seg_bits = jnp.sum(lens_rows, axis=1, dtype=jnp.int32)
-        seg_bytes = (seg_bits + ((-seg_bits) % 8)) >> 3
-        ntok = jnp.sum((lens_rows > 0).astype(jnp.int32)) + nseg  # + pad tokens
-        return bits_rows, lens_rows, seg_bytes, ntok
+    if not geo.interleaved:
+        valids = []
+        for c in geo.components:
+            rst = c.segment_mcu_count
+            S = c.segment_count
+            vm = (np.arange(S * rst).reshape(S, rst) < c.mcu_count)
+            valids.append(vm)
 
+        def fn(raw):
+            planes = sample.preprocess(raw, geo, geo.param_image)
+            bits_list, lens_list = [], []
+            for c in geo.components:
+                ti = c.table_index
+                blocks = dct.fdct_quantize(planes[c.index], qtabs[ti])
+                rst = c.segment_mcu_count
+                S = c.segment_count
+                padB = S * rst - c.mcu_count
+                if padB:
+                    blocks = jnp.pad(blocks, ((0, padB), (0, 0)))
+                rows = blocks.reshape(S, rst, 64)
+                b, l = tokens.tokenize_rows(rows, dc_luts[ti], ac_luts[ti],
+                                            valids[c.index])
+                bits_list.append(b)
+                lens_list.append(l)
+            return (jnp.concatenate(bits_list, axis=0),
+                    jnp.concatenate(lens_list, axis=0))
+    else:
+        S = geo.segment_count
+        rst = geo.segment_mcu_count
+        nmcu = geo.mcu_count
+        mcu_valid = (np.arange(S * rst).reshape(S, rst) < nmcu)
+
+        def fn(raw):
+            planes = sample.preprocess(raw, geo, geo.param_image)
+            per_comp = []
+            for c in geo.components:
+                ti = c.table_index
+                blocks = dct.fdct_quantize(planes[c.index], qtabs[ti])
+                # raster blocks -> (mcu, v, h) stream order: pure transpose
+                x = blocks.reshape(c.mcu_count_y, c.samp_v,
+                                   c.mcu_count_x, c.samp_h, 64)
+                x = x.transpose(0, 2, 1, 3, 4)
+                bpm_c = c.samp_v * c.samp_h
+                x = x.reshape(nmcu, bpm_c, 64)
+                padM = S * rst - nmcu
+                if padM:
+                    x = jnp.pad(x, ((0, padM), (0, 0), (0, 0)))
+                rows = x.reshape(S, rst * bpm_c, 64)
+                vm = np.repeat(mcu_valid, bpm_c, axis=1)
+                b, l = tokens.tokenize_rows(rows, dc_luts[ti], ac_luts[ti],
+                                            vm)
+                # (S, rst*bpm_c*64) -> (S, rst, bpm_c*64) for interleaving
+                per_comp.append((b.reshape(S, rst, bpm_c * 64),
+                                 l.reshape(S, rst, bpm_c * 64)))
+            bits = jnp.concatenate([b for b, _ in per_comp], axis=2)
+            lens = jnp.concatenate([l for _, l in per_comp], axis=2)
+            return bits.reshape(S, -1), lens.reshape(S, -1)
     return fn
 
 
-def make_tokens_fn(geo: Geometry):
-    """Jitted raw->tokens function for one geometry."""
-    return jax.jit(make_tokens_impl(geo))
+def token_slots(geo: Geometry) -> int:
+    """Tokens per segment row (T)."""
+    if geo.interleaved:
+        return geo.segment_mcu_count * geo.blocks_per_mcu * 64
+    return geo.components[0].segment_mcu_count * 64
 
 
-def make_device_encode_fn(geo: Geometry, cap_tokens: int, cap_words: int):
-    """One jittable function for the FULL device-side encode:
-    raw image -> (packed words, per-segment byte counts).
+@dataclasses.dataclass(frozen=True)
+class Caps:
+    """Sticky per-geometry merge-tree capacities (words per level)."""
 
-    Capacities are static; the session Encoder picks them adaptively, while
-    fixed-capacity callers (benchmarks, sharded batch encoding) pin them.
+    pack: Tuple[int, ...]
+    stuff: Tuple[int, ...]
+
+    @property
+    def row_words(self) -> int:
+        return self.pack[-1]
+
+
+def initial_caps(geo: Geometry, bits_per_token: float = 6.0) -> Caps:
+    """Content-independent initial guess (~Q75 photographic density);
+    overflow-driven growth replaces it with measured needs."""
+    T = token_slots(geo)
+    worst = bitmerge.worst_caps(T, 27)
+    pack = tuple(
+        min(w, max(1, -(-int((1 << (lv + 1)) * bits_per_token) // 32)))
+        for lv, w in enumerate(worst))
+    K4 = pack[-1] * 4
+    worst_st = bitmerge.worst_caps(K4 + 1, 16)
+    stuff = tuple(
+        min(w, max(1, -(-int((1 << (lv + 1)) * 9) // 32)))
+        for lv, w in enumerate(worst_st))
+    return Caps(pack=pack, stuff=stuff)
+
+
+def grown_caps(geo: Geometry, caps: Caps, need_pack: np.ndarray,
+               need_stuff: np.ndarray, headroom: float = 1.3) -> Caps:
+    """Grow any level whose realized need exceeded its capacity."""
+    T = token_slots(geo)
+    worst = bitmerge.worst_caps(T, 27)
+    pack = tuple(
+        min(worst[i], max(caps.pack[i],
+                          -(-int(need_pack[i] * headroom) // 32)))
+        for i in range(len(caps.pack)))
+    K4 = pack[-1] * 4
+    worst_st = bitmerge.worst_caps(K4 + 1, 16)
+    old = caps.stuff
+    stuff = []
+    for i, w in enumerate(worst_st):
+        base = old[i] if i < len(old) else 1
+        ns = int(need_stuff[i]) if i < len(need_stuff) else 0
+        stuff.append(min(w, max(base, -(-int(ns * headroom) // 32))))
+    return Caps(pack=pack, stuff=tuple(stuff))
+
+
+def make_full_encode_fn(geo: Geometry, caps: Caps):
+    """The complete device-side encode as ONE jittable program.
+
+    Returns fn(raw) -> dict:
+      rows:      (nseg, K) uint32 stuffed per-segment streams (RST markers
+                 appended to non-scan-final segments)
+      row_bytes: (nseg,) int32 bytes used per row
+      meta:      int32 vector [pack needs..., stuff needs..., scan_start...,
+                 scan_end..., total_bytes] — one small fetch per frame
+                 covers overflow detection and host assembly offsets
     """
-    tokens_impl = make_tokens_impl(geo)
-
-    def fn(raw):
-        bits_rows, lens_rows, seg_bytes, _ = tokens_impl(raw)
-        words, _, _ = pack.pack_segments(
-            bits_rows, lens_rows, cap_tokens=cap_tokens,
-            cap_words=cap_words, k_window=K_WINDOW)
-        return words, seg_bytes
-
-    return fn
-
-
-def make_full_encode_fn(geo: Geometry, cap_tokens: int, cap_words: int,
-                        cap_body: int):
-    """The complete device-side encode as ONE jittable program:
-
-        raw -> preprocess -> DCT+quant (MXU) -> tokenize -> segment-parallel
-        pack -> byte stuffing + restart markers (finalize)
-
-    Only the JPEG headers are produced on host; the scan bodies leave the
-    device fully formed (the reference's CPU stream formatter,
-    gpujpeg_encoder.c:566-624, runs on-device here because host<->device
-    bandwidth, not compute, is the scarce resource on TPU).
-
-    Returns fn(raw) -> dict with:
-      body:    (cap_body,) uint8 stuffed scan bodies (concatenated)
-      meta:    (3 + 2*scan_count,) int32
-               [live_tokens, unstuffed_bytes, body_bytes,
-                scan starts..., scan ends...] — a single vector so the
-               per-frame host readback is ONE small fetch
-      seg_out: (nseg,) int32 per-segment body offsets (APP13 segment info;
-               only fetched when requested)
-    """
-    tokens_impl = make_tokens_impl(geo)
+    tokens_impl = make_rows_tokens_impl(geo)
     scan_first = geo.scan_seg_bounds[:-1].astype(np.int32)
     scan_last = (geo.scan_seg_bounds[1:] - 1).astype(np.int32)
 
     def fn(raw):
-        bits_rows, lens_rows, seg_bytes, _ = tokens_impl(raw)
-        words, _, count = pack.pack_segments(
-            bits_rows, lens_rows, cap_tokens=cap_tokens,
-            cap_words=cap_words, k_window=K_WINDOW)
-        body, seg_out, seg_end_out, total_out = pack.finalize_scan_bodies(
-            words, seg_bytes, geo.rst_marker, geo.rst_shift, cap_body)
-        total_in = jnp.sum(seg_bytes)
+        bits, lens = tokens_impl(raw)
+        words, row_bits, need1 = bitmerge.pack_rows_merge(
+            bits, lens, caps=caps.pack)
+        seg_bytes = (row_bits + 7) >> 3
+        padded = bitmerge.or_pad_bits(words, row_bits)
+        rows, out_bytes, need2 = bitmerge.stuff_rows(
+            padded, seg_bytes, geo.rst_marker, caps=caps.stuff)
+        cs = jnp.cumsum(out_bytes)
+        scan_start = (cs - out_bytes)[jnp.asarray(scan_first)]
+        scan_end = cs[jnp.asarray(scan_last)]
         meta = jnp.concatenate([
-            jnp.stack([count, total_in, total_out]),
-            seg_out[jnp.asarray(scan_first)],
-            seg_end_out[jnp.asarray(scan_last)],
-        ])
-        return {"body": body, "meta": meta, "seg_out": seg_out}
+            need1, need2, scan_start, scan_end, cs[-1:],
+        ]).astype(jnp.int32)
+        return {"rows": rows, "row_bytes": out_bytes, "meta": meta}
 
+    fn._n1 = len(caps.pack)
+    fn._n2 = len(caps.stuff)
     return fn
-
-
-@dataclasses.dataclass
-class _Caps:
-    """Sticky jit capacities per geometry (grown on overflow, then reused)."""
-
-    tokens: int
-    words: int
-    body: int
-
-
-def _initial_caps(geo: Geometry) -> _Caps:
-    """Content-independent initial guess; exact needs replace it on the
-    first overflow (the program recompiles at most twice per geometry)."""
-    blocks = geo.total_blocks
-    cap_tokens = _bucket(blocks * 20 + geo.segment_count)
-    cap_body = _bucket(max(blocks * 40, 1 << 16))
-    return _Caps(tokens=cap_tokens, words=cap_body // 4, body=cap_body)
 
 
 class Encoder:
@@ -221,7 +248,7 @@ class Encoder:
 
     def __init__(self) -> None:
         self._fns: Dict[Tuple, object] = {}
-        self._caps: Dict[Geometry, _Caps] = {}
+        self._caps: Dict[Geometry, Caps] = {}
         self.stats = DurationStats()
         self._frames = 0
         self.segment_info = False
@@ -230,26 +257,16 @@ class Encoder:
     def set_option(self, key: str, value: str) -> None:
         raise NotImplementedError(f"option {key!r} not supported yet")
 
-    def _get_fn(self, geo: Geometry, caps: _Caps):
-        key = (geo, caps.tokens, caps.words, caps.body)
+    def _get_fn(self, geo: Geometry, caps: Caps):
+        key = (geo, caps)
         fn = self._fns.get(key)
         if fn is None:
-            fn = jax.jit(make_full_encode_fn(
-                geo, caps.tokens, caps.words, caps.body))
+            fn = jax.jit(make_full_encode_fn(geo, caps))
+            fn._n1, fn._n2 = len(caps.pack), len(caps.stuff)
             self._fns[key] = fn
         return fn
 
-    def encode_to_device(self, image, param: Optional[Parameters] = None,
-                         param_image: Optional[ImageParameters] = None,
-                         check: bool = True):
-        """Device-side encode: returns (geo, result-dict, meta) with the
-        stuffed scan bodies still on device (see make_full_encode_fn).
-        Capacities are sticky per geometry and grown on overflow.
-
-        check=False skips the capacity-overflow readback (meta is None);
-        use only when the caps were already validated for comparable
-        content (e.g. a fixed-camera frame pipeline or a benchmark loop).
-        """
+    def resolve(self, image, param, param_image):
         if param_image is None:
             if image.ndim < 2:
                 raise ValueError("param_image required for flat buffers")
@@ -261,35 +278,72 @@ class Encoder:
             param_image = ImageParameters(width=w, height=h, color_space=cs,
                                           pixel_format=pf)
         param = adjust_params(param or Parameters(), param_image)
-        geo = get_geometry(param, param_image)
+        return get_geometry(param, param_image)
 
+    def encode_to_device(self, image, param: Optional[Parameters] = None,
+                         param_image: Optional[ImageParameters] = None,
+                         check: bool = True):
+        """Device-side encode: returns (geo, result-dict, meta) with the
+        stuffed segment rows still on device.  Capacities are sticky per
+        geometry and grown on overflow.
+
+        check=False skips the overflow readback (meta is None); use only
+        when capacities were already validated for comparable content.
+        """
+        geo = self.resolve(image, param, param_image)
         caps = self._caps.get(geo)
         if caps is None:
-            caps = _initial_caps(geo)
+            caps = initial_caps(geo)
             self._caps[geo] = caps
         x = jnp.asarray(image)
 
         if not check:
             return geo, self._get_fn(geo, caps)(x), None
 
-        for _ in range(3):
-            res = self._get_fn(geo, caps)(x)
+        for _ in range(4):
+            fn = self._get_fn(geo, caps)
+            res = fn(x)
             # NOTE: fetching a result before it is ready takes a pathological
             # slow path on some host links — always block first.
             jax.block_until_ready(res["meta"])
             meta = np.asarray(res["meta"])
-            ntok, total_in, total_out = (int(v) for v in meta[:3])
-            need_words = (total_in + 3) // 4
-            if (ntok < caps.tokens and need_words <= caps.words
-                    and total_out <= caps.body):
+            n1, n2 = fn._n1, fn._n2
+            need1, need2 = meta[:n1], meta[n1:n1 + n2]
+            ok1 = all(int(need1[i]) <= caps.pack[i] * 32 for i in range(n1))
+            ok2 = all(int(need2[i]) <= caps.stuff[i] * 32 for i in range(n2))
+            if ok1 and ok2:
                 return geo, res, meta
-            caps = _Caps(tokens=_bucket(max(2 * ntok + 2, caps.tokens)),
-                         words=_bucket(max(need_words * 2, caps.words),
-                                       lo=1024),
-                         body=_bucket(max(total_out * 2, caps.body),
-                                      lo=4096))
+            caps = grown_caps(geo, caps, need1, need2)
             self._caps[geo] = caps
         raise RuntimeError("encode capacity did not converge")
+
+    def assemble(self, geo: Geometry, res, meta) -> bytes:
+        """Host codestream assembly from device rows (headers + per-scan
+        row compaction; RST markers and stuffing arrive from the device)."""
+        fn_n1 = len(self._caps[geo].pack)
+        fn_n2 = len(self._caps[geo].stuff)
+        ns = geo.scan_count
+        base = fn_n1 + fn_n2
+        scan_start = meta[base:base + ns]
+        scan_end = meta[base + ns:base + 2 * ns]
+
+        rows = np.asarray(res["rows"])
+        row_bytes = np.asarray(res["row_bytes"])
+        by = rows.astype(">u4").view(np.uint8).reshape(rows.shape[0], -1)
+        mask = (np.arange(by.shape[1])[None, :] < row_bytes[:, None])
+
+        out = bytearray(jwriter.write_header(geo))
+        want_seginfo = geo.param.segment_info or self.segment_info
+        for k in range(ns):
+            b0, b1 = geo.scan_seg_bounds[k], geo.scan_seg_bounds[k + 1]
+            if want_seginfo and geo.param.restart_interval > 0:
+                offs = np.concatenate(
+                    [[0], np.cumsum(row_bytes[b0:b1])]).astype(np.int64)
+                out += jwriter.write_segment_info_headers(k, offs)
+            out += jwriter.write_scan_header(geo, k)
+            out += by[b0:b1][mask[b0:b1]].tobytes()
+        out += b"\xff\xd9"
+        return bytes(out)
 
     def encode(self, image, param: Optional[Parameters] = None,
                param_image: Optional[ImageParameters] = None) -> bytes:
@@ -301,36 +355,13 @@ class Encoder:
         t0 = time.perf_counter()
         image = np.asarray(image) if not isinstance(image, jax.Array) else image
         geo, res, meta = self.encode_to_device(image, param, param_image)
-        ns = geo.scan_count
-        scan_start = meta[3:3 + ns]
-        scan_end = meta[3 + ns:3 + 2 * ns]
-        total_out = int(meta[2])
         t1 = time.perf_counter()
-
-        body_dev = res["body"][:total_out]
-        jax.block_until_ready(body_dev)
-        body = np.asarray(body_dev)
+        out = self.assemble(geo, res, meta)
         t2 = time.perf_counter()
-
-        out = bytearray(jwriter.write_header(geo))
-        want_seginfo = geo.param.segment_info or self.segment_info
-        seg_out = np.asarray(res["seg_out"]) if want_seginfo else None
-        for k in range(geo.scan_count):
-            if want_seginfo and geo.param.restart_interval > 0:
-                b0, b1 = geo.scan_seg_bounds[k], geo.scan_seg_bounds[k + 1]
-                offs = np.concatenate([seg_out[b0:b1], [scan_end[k]]])
-                out += jwriter.write_segment_info_headers(
-                    k, offs - int(scan_start[k]))
-            out += jwriter.write_scan_header(geo, k)
-            out += body[int(scan_start[k]):int(scan_end[k])].tobytes()
-        out += b"\xff\xd9"
-        t3 = time.perf_counter()
-
         self.stats.duration_in_gpu = (t1 - t0) * 1000.0
-        self.stats.duration_memory_from = (t2 - t1) * 1000.0
-        self.stats.duration_stream = (t3 - t2) * 1000.0
+        self.stats.duration_stream = (t2 - t1) * 1000.0
         self._frames += 1
-        return bytes(out)
+        return out
 
     def get_stats(self) -> DurationStats:
         return self.stats

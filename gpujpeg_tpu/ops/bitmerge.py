@@ -2,191 +2,230 @@
 
 The reference serializes each restart segment's Huffman tokens with one CUDA
 thread writing variable-length codewords sequentially
-(src/gpujpeg_huffman_gpu_encoder.cu:406-502).  A TPU has no efficient
-data-dependent gather/scatter inside XLA programs, so the packer is instead a
-**pairwise merge tree**: tokens are (bits, len) bitstrings; concatenation is
-associative, so each level merges adjacent pairs of bitstring buffers into
-buffers of twice the capacity:
+(src/gpujpeg_huffman_gpu_encoder.cu:406-502).  XLA gathers/scatters cost
+~10 ns/element on TPU, so the packer is instead a **pairwise merge tree**:
+tokens are (bits, len) bitstrings; concatenation is associative, so level L
+merges adjacent pairs of bitstring buffers into buffers of roughly twice the
+capacity:
 
-    level 0:  T tokens/row, 1 word each   (codeword, <=27 bits used)
-    level L:  T/2^L buffers/row, cap_L words each
-    level log2(T): one buffer per row == the packed segment
+    level 0:  T tokens/row, <=32 bits each, 1 word buffers
+    level L:  ceil(T/2^L) buffers/row, cap_L words each
+    level ceil(log2 T):  one buffer per row == the packed segment
 
 Appending B (len lb) to A (len la) is A | (B >> la), where ">>" is a
-bitstream shift by la bits of B's whole word buffer.  The shift decomposes
-into a sub-word part (variable elementwise shifts — native VPU ops) and a
-whole-word part (log2 conditional static rolls — pad+slice, no gathers).
-Total data movement is O(rows * T * log T) words with small constants; no
-gathers, no scatters, no sorts anywhere.
+bitstream shift of B's whole word buffer by la bits: a sub-word part
+(variable elementwise shifts — native VPU ops) plus a whole-word part
+(log2 conditional static rolls — pad+slice).  No gathers, no scatters, no
+sorts anywhere.
 
-The per-segment byte-alignment pad token (1-bits, F.1.2.3) is appended by
-the caller as an extra token column, exactly like ops.pack.
+Two throughput levers:
+  * per-level word capacities `caps` are CONTENT-ADAPTIVE: the worst case
+    (every token 27 bits) never happens at useful qualities, so sticky
+    per-geometry capacities shrink intermediate buffers ~5x; each level's
+    realized maximum is returned in `level_need` for overflow-driven
+    regrowth (the same protocol as the reference's worst-case per-segment
+    allocations, gpujpeg_common.c:812-871, but measured instead of bounded).
+  * buffers keep their LARGER axis minor (TPU pads the minor dimension to
+    128 lanes), switching from buffer-minor to word-minor layout mid-tree.
+
+Byte stuffing + restart markers are a SECOND, shallower merge tree over the
+packed bytes (each byte re-emitted as an 8- or 16-bit token, 0xFF -> 0xFF00,
+with the RST marker as a trailing 16-bit token), replacing both the
+reference's inline stuffing (huffman_gpu_encoder.cu:114-125) and its RST
+append (:491-493).
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _shift_words_right(buf: jnp.ndarray, w: int) -> jnp.ndarray:
-    """Shift the word axis (last) right by a STATIC w words (zero fill)."""
+def n_levels_for(T: int) -> int:
+    """Number of merge levels to reduce T buffers to one."""
+    n, lv = T, 0
+    while n > 1:
+        n = (n + 1) // 2
+        lv += 1
+    return lv
+
+
+def worst_caps(T: int, max_token_bits: int = 27) -> Tuple[int, ...]:
+    """Content-independent per-level word capacities (true worst case)."""
+    caps = []
+    total = T * max_token_bits
+    for lv in range(1, n_levels_for(T) + 1):
+        caps.append(-(-min((1 << lv) * max_token_bits, total) // 32))
+    return tuple(caps)
+
+
+def _shift_axis(buf: jnp.ndarray, w: int, axis: int) -> jnp.ndarray:
+    """Shift `buf` along `axis` by a STATIC w positions (zero fill at 0)."""
     if w == 0:
         return buf
-    pad = jnp.zeros(buf.shape[:-1] + (w,), buf.dtype)
-    return jnp.concatenate([pad, buf[..., :-w]], axis=-1)
+    pad_shape = list(buf.shape)
+    pad_shape[axis] = w
+    pad = jnp.zeros(pad_shape, buf.dtype)
+    kept = jax.lax.slice_in_dim(buf, 0, buf.shape[axis] - w, axis=axis)
+    return jnp.concatenate([pad, kept], axis=axis)
 
 
-def _bitstream_shift_right(buf: jnp.ndarray, shift: jnp.ndarray,
-                           max_shift: int) -> jnp.ndarray:
-    """Shift each buffer right by a per-buffer dynamic bit count.
+def _bitstream_shift(buf: jnp.ndarray, shift: jnp.ndarray, word_axis: int,
+                     max_words: int) -> jnp.ndarray:
+    """Shift each bitstream right by a dynamic per-buffer bit count.
 
-    buf:   (..., K) uint32, MSB-first bitstream
-    shift: (...,) int32 in [0, max_shift]
+    buf:   uint32 with words along `word_axis`, MSB-first
+    shift: int32 broadcastable to buf minus word_axis
     """
-    K = buf.shape[-1]
-    # sub-word part: variable shifts are plain VPU ops
-    r = (shift & 31).astype(jnp.uint32)[..., None]
+    sh = jnp.expand_dims(shift, word_axis)
+    r = (sh & 31).astype(jnp.uint32)
     hi = buf >> r
-    lo_src = _shift_words_right(buf, 1)
-    # (x << 32) is undefined; mask the r==0 case
-    carry = jnp.where(r == 0, jnp.uint32(0),
-                      lo_src << (jnp.uint32(32) - r))
+    prev = _shift_axis(buf, 1, word_axis)
+    carry = jnp.where(r == 0, jnp.uint32(0), prev << (jnp.uint32(32) - r))
     buf = hi | carry
-    # whole-word part: conditional static rolls over the bits of (shift>>5)
-    w = (shift >> 5).astype(jnp.int32)[..., None]
-    max_words = min(max_shift >> 5, K)
-    k = 0
-    while (1 << k) <= max_words:
-        moved = _shift_words_right(buf, 1 << k)
-        buf = jnp.where((w & (1 << k)) != 0, moved, buf)
-        k += 1
+    w = (sh >> 5).astype(jnp.int32)
+    K = buf.shape[word_axis]
+    step = 1
+    while step <= min(max_words, K - 1):
+        moved = _shift_axis(buf, step, word_axis)
+        buf = jnp.where((w & step) != 0, moved, buf)
+        step *= 2
     return buf
 
 
+def _pad_axis_to(buf: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
+    cur = buf.shape[axis]
+    if cur >= size:
+        return buf
+    pad_shape = list(buf.shape)
+    pad_shape[axis] = size - cur
+    return jnp.concatenate([buf, jnp.zeros(pad_shape, buf.dtype)], axis=axis)
+
+
 def pack_rows_merge(bits: jnp.ndarray, lens: jnp.ndarray,
-                    max_token_bits: int = 32,
-                    row_cap_words: int | None = None):
-    """Pack each row of tokens into one MSB-first bitstream.
+                    caps: Optional[Sequence[int]] = None,
+                    max_token_bits: int = 27):
+    """Pack each row of (bits, len) tokens into one MSB-first bitstream.
 
-    bits: (R, T) uint32 right-aligned codewords
-    lens: (R, T) int32 bit lengths (0 = empty slot)
+    bits: (R, T) uint32 right-aligned codewords; lens: (R, T) int32.
+    caps: per-level word capacities (see worst_caps); levels whose realized
+    need exceeds cap*32 produce truncated garbage that the caller detects
+    via level_need and retries with grown capacities.
 
-    Returns (words, row_bits): (R, K) uint32 packed rows and (R,) int32
-    total bit counts.  K is the static worst-case capacity
-    ceil(T * max_token_bits / 32) clamped to row_cap_words (content-adaptive
-    callers pass the sticky capacity; overflow detection is theirs via
-    row_bits).
+    Returns (words, row_bits, level_need):
+      words:     (R, K_final) uint32 packed rows
+      row_bits:  (R,) int32 true bit length per row
+      level_need: (n_levels,) int32 max buffer bits realized at each level
     """
     R, T = bits.shape
-    # pad T to a power of two with empty tokens
-    T2 = 1 << max(1, (T - 1).bit_length())
-    if T2 != T:
-        bits = jnp.pad(bits, ((0, 0), (0, T2 - T)))
-        lens = jnp.pad(lens, ((0, 0), (0, T2 - T)))
+    levels = n_levels_for(T)
+    if caps is None:
+        caps = worst_caps(T, max_token_bits)
+    assert len(caps) >= levels, (len(caps), levels)
+
     row_bits = jnp.sum(lens, axis=1, dtype=jnp.int32)
 
-    full_cap = -(-T2 * max_token_bits // 32)
-    if row_cap_words is None:
-        row_cap_words = full_cap
-
-    # level 0: one word per token, MSB-aligned
+    # level-0: (R, 1, N) buffers, N-minor layout (K axis = 1)
     buf = (bits << jnp.clip(32 - lens, 0, 31).astype(jnp.uint32))
-    buf = jnp.where(lens >= 32, bits, buf)[..., None]  # (R, T2, 1)
+    buf = jnp.where(lens >= 32, bits, buf)[:, None, :]
     blen = lens
+    kminor = False          # False: (R, K, N); True: (R, N, K)
+    N = T
+    needs: List[jnp.ndarray] = []
 
-    level = 0
-    nbuf = T2
-    while nbuf > 1:
-        level += 1
-        nbuf //= 2
-        a = buf[:, 0::2]
-        b = buf[:, 1::2]
+    for lv in range(1, levels + 1):
+        K_new = int(caps[lv - 1])
+        M = (N + 1) // 2
+        theory_w = ((1 << (lv - 1)) * max_token_bits) >> 5
+        if not kminor:
+            if N % 2:
+                buf = _pad_axis_to(buf, N + 1, 2)
+            a = buf[:, :, 0::2]
+            b = buf[:, :, 1::2]
+            a = _pad_axis_to(a, K_new, 1)
+            b = _pad_axis_to(b, K_new, 1)
+            word_axis = 1
+        else:
+            if N % 2:
+                buf = _pad_axis_to(buf, N + 1, 1)
+            a = buf[:, 0::2, :]
+            b = buf[:, 1::2, :]
+            a = _pad_axis_to(a, K_new, 2)
+            b = _pad_axis_to(b, K_new, 2)
+            word_axis = 2
+        if N % 2:
+            blen = jnp.pad(blen, ((0, 0), (0, 1)))
         la = blen[:, 0::2]
         lb = blen[:, 1::2]
-        K_old = a.shape[-1]
-        # capacity this level: worst-case bits of 2^level tokens
-        cap_bits = min((1 << level) * max_token_bits, row_cap_words * 32)
-        K_new = min(-(-cap_bits // 32), row_cap_words)
-        if K_new > K_old:
-            z = jnp.zeros(a.shape[:-1] + (K_new - K_old,), a.dtype)
-            a = jnp.concatenate([a, z], axis=-1)
-            b = jnp.concatenate([b, z], axis=-1)
-        max_shift = min((K_new - 1) * 32 + 31, (1 << (level - 1))
-                        * max_token_bits)
-        b = _bitstream_shift_right(b, la, max_shift)
+        b = _bitstream_shift(b, la, word_axis, min(theory_w, K_new - 1))
         buf = a | b
         blen = la + lb
-    return buf[:, 0], row_bits
+        needs.append(jnp.max(blen).astype(jnp.int32))
+        N = M
+        # keep the larger axis minor
+        if not kminor and K_new > N:
+            buf = jnp.swapaxes(buf, 1, 2)
+            kminor = True
+
+    words = buf[:, 0, :] if kminor else buf[:, :, 0]
+    return words, row_bits, jnp.stack(needs)
 
 
-def append_pad_token(bits: jnp.ndarray, lens: jnp.ndarray
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Append the byte-alignment 1-bits pad token per row (F.1.2.3)."""
-    row_bits = jnp.sum(lens, axis=1, dtype=jnp.int32)
-    pad = ((-row_bits) % 8).astype(jnp.int32)
-    pad_bits = ((jnp.uint32(1) << pad.astype(jnp.uint32)) - 1)
-    bits = jnp.concatenate([bits, pad_bits[:, None]], axis=1)
-    lens = jnp.concatenate([lens, pad[:, None]], axis=1)
-    return bits, lens
+def or_pad_bits(words: jnp.ndarray, row_bits: jnp.ndarray) -> jnp.ndarray:
+    """OR 1-bits from each row's true end to its next byte boundary
+    (F.1.2.3 pad), without a scatter: build the per-row pad pattern from an
+    iota comparison."""
+    R, K = words.shape
+    pad = ((-row_bits) % 8).astype(jnp.uint32)
+    wi = (row_bits >> 5)[:, None]
+    bo = (row_bits & 31).astype(jnp.uint32)[:, None]
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+    # mask of `pad` 1-bits starting at bit offset bo (MSB-first) in word wi;
+    # the run never crosses a word boundary (bo+pad <= 32: pad>0 only when
+    # bo%8 != 0, and pad fills to the next byte)
+    ones = jnp.where(pad[:, None] == 0, jnp.uint32(0),
+                     ((jnp.uint32(1) << pad[:, None]) - 1)
+                     << (jnp.uint32(32) - bo - pad[:, None]))
+    return words | jnp.where(col == wi, ones, 0)
 
 
-def rows_to_bytes(rows: jnp.ndarray) -> jnp.ndarray:
-    """(R, K) uint32 BE bitstream words -> (R, 4K) uint8."""
-    b = jnp.stack([(rows >> 24) & 0xFF, (rows >> 16) & 0xFF,
-                   (rows >> 8) & 0xFF, rows & 0xFF], axis=-1)
-    return b.reshape(rows.shape[0], rows.shape[1] * 4).astype(jnp.uint8)
+def stuff_rows(words: jnp.ndarray, row_bytes: jnp.ndarray,
+               rst_marker: np.ndarray,
+               caps: Optional[Sequence[int]] = None):
+    """Byte-stuff packed rows and append restart markers, as a second merge
+    tree over byte tokens (0xFF emits 16 bits 0xFF00; the RST marker is a
+    trailing 16-bit token; invalid tail bytes emit nothing).
 
+    words:      (R, K) uint32 packed+padded rows
+    row_bytes:  (R,) int32 valid byte count per row
+    rst_marker: (R,) uint8 static: 0xD0+n after this row, 0 = none
 
-def finalize_rows(rows: jnp.ndarray, seg_bytes: jnp.ndarray,
-                  rst_marker: np.ndarray, rst_shift: np.ndarray,
-                  cap_body: int):
-    """Device stream formatter over per-segment rows: byte stuffing +
-    restart markers + global compaction, with only 2-D cumsums and ONE
-    sorted scatter (cf. the flat-array variant in ops.pack, and the
-    reference's CPU loop, gpujpeg_encoder.c:566-624).
-
-    rows:      (nseg, K) uint32 packed per-segment bitstreams
-    seg_bytes: (nseg,) int32 byte length of each segment
-    rst_marker/rst_shift: static per-segment tables (Geometry)
-
-    Returns (body, seg_out, seg_end_out, total_out) as in
-    pack.finalize_scan_bodies.
+    Returns (stuffed_words, stuffed_bytes, level_need).
     """
-    nseg, K = rows.shape
-    by = rows_to_bytes(rows)                          # (nseg, 4K)
-    col = jax.lax.broadcasted_iota(jnp.int32, by.shape, 1)
-    valid = col < seg_bytes[:, None]
-    is_ff = ((by == 0xFF) & valid).astype(jnp.int32)
-    ff_in_row_excl = jnp.cumsum(is_ff, axis=1) - is_ff
-    ff_row_total = jnp.sum(is_ff, axis=1)
-    ff_base = jnp.cumsum(ff_row_total) - ff_row_total  # exclusive over rows
-    seg_start = jnp.cumsum(seg_bytes) - seg_bytes
-    shift_tab = jnp.asarray(rst_shift)
+    R, K = words.shape
+    by = jnp.stack([(words >> 24) & 0xFF, (words >> 16) & 0xFF,
+                    (words >> 8) & 0xFF, words & 0xFF],
+                   axis=-1).reshape(R, K * 4).astype(jnp.uint32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, K * 4), 1)
+    valid = col < row_bytes[:, None]
+    is_ff = valid & (by == 0xFF)
+    tok_bits = jnp.where(is_ff, jnp.uint32(0xFF00), by)
+    tok_lens = jnp.where(is_ff, 16, jnp.where(valid, 8, 0))
 
-    out_pos = (seg_start[:, None] + col + ff_base[:, None]
-               + ff_in_row_excl + shift_tab[:, None])
-    body = jnp.zeros(cap_body, jnp.uint8).at[
-        jnp.where(valid, out_pos, cap_body).reshape(-1)].set(
-        by.reshape(-1), mode="drop",
-        indices_are_sorted=True, unique_indices=True)
+    rst = jnp.asarray(rst_marker).astype(jnp.uint32)
+    rst_bits = (jnp.uint32(0xFF00) | rst)[:, None]
+    rst_lens = jnp.where(rst[:, None] != 0, 16, 0)
+    tok_bits = jnp.concatenate([tok_bits, rst_bits], axis=1)
+    tok_lens = jnp.concatenate([tok_lens, rst_lens], axis=1)
 
-    seg_out = seg_start + ff_base + shift_tab
-    seg_end_out = seg_out + seg_bytes + ff_row_total
+    out, out_bits, need = pack_rows_merge(tok_bits, tok_lens.astype(jnp.int32),
+                                          caps=caps, max_token_bits=16)
+    return out, (out_bits >> 3), need
 
-    has_rst = jnp.asarray(rst_marker) != 0
-    rpos = jnp.where(has_rst, seg_end_out, cap_body)
-    body = body.at[rpos].set(jnp.uint8(0xFF), mode="drop",
-                             indices_are_sorted=True, unique_indices=True)
-    body = body.at[jnp.where(has_rst, rpos + 1, cap_body + 1)].set(
-        jnp.asarray(rst_marker), mode="drop",
-        indices_are_sorted=True, unique_indices=True)
 
-    total_out = (seg_start[-1] + seg_bytes[-1] + ff_base[-1]
-                 + ff_row_total[-1] + shift_tab[-1]
-                 + 2 * has_rst[-1].astype(jnp.int32))
-    return body, seg_out, seg_end_out, total_out
+def stuff_caps(K4: int) -> Tuple[int, ...]:
+    """Worst-case cap schedule for the stuffing tree over K4+1 byte tokens."""
+    return worst_caps(K4 + 1, 16)

@@ -26,6 +26,80 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def tokenize_rows(coefs: jnp.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray,
+                  valid: np.ndarray | None = None):
+    """Huffman-tokenize segment rows of blocks, gather-free.
+
+    XLA gathers cost ~10 ns/element on TPU, but gathers from <=16-entry
+    tables lower to vector selects and are effectively free; the 256-entry
+    AC code table is therefore decomposed as 16 run-tables of 16 sizes, and
+    the DC predictor (previous block of the same component in the same
+    segment, F.1.1.5.1) becomes a shift along the block axis — segment rows
+    make the restart-reset automatic at row boundaries.
+
+    coefs:  (S, B, 64) int quantized zig-zag coefficients; rows are restart
+            segments of ONE component (or one component's interleaved MCU
+            slice), blocks in stream order
+    dc_lut: (12,) uint32 (len<<16 | code) per DC size category
+    ac_lut: (16, 16) uint32 per (run, size); [0][0]=EOB, [15][0]=ZRL
+    valid:  (S, B) bool static mask; False blocks emit no tokens
+
+    Returns (bits, lens): (S, B*64) uint32 / int32.
+    """
+    S, B, _ = coefs.shape
+    v = coefs.astype(jnp.int32)
+
+    dc = v[:, :, 0]
+    pred = jnp.pad(dc, ((0, 0), (1, 0)))[:, :-1]
+    v = jnp.concatenate([(dc - pred)[:, :, None], v[:, :, 1:]], axis=2)
+
+    av = jnp.abs(v)
+    size = 32 - jax.lax.clz(av)                     # 0 for v == 0
+    vb = (jnp.where(v < 0, v - 1, v)
+          & ((1 << jnp.minimum(size, 31)) - 1)).astype(jnp.uint32)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (S, B, 64), 2)
+    nz = v != 0
+    marker = jnp.where(nz | (idx == 0), idx, -1)
+    last_incl = jax.lax.cummax(marker, axis=2)
+    last_before = jnp.concatenate(
+        [jnp.zeros((S, B, 1), jnp.int32), last_incl[:, :, :-1]], axis=2)
+    run = idx - last_before - 1
+    suffix = jnp.flip(jax.lax.cummax(
+        jnp.flip(nz.astype(jnp.int32), 2), axis=2), 2)
+    has_after = jnp.concatenate(
+        [suffix[:, :, 1:], jnp.zeros((S, B, 1), jnp.int32)], axis=2) > 0
+
+    is_dc = idx == 0
+    is_code = nz & ~is_dc
+    zero_run_incl = idx - last_before
+    is_zrl = (~nz) & ~is_dc & has_after & (zero_run_incl % 16 == 0)
+    is_eob = (~nz) & (idx == 63)
+
+    run16 = jnp.where(is_code, run & 15, jnp.where(is_zrl, 15, 0))
+    size16 = jnp.where(is_code, size, 0)
+
+    # AC entry via 16 free 16-entry gathers + select chain over the run
+    ac_rows = np.asarray(ac_lut, np.uint32)
+    entry = jnp.zeros((S, B, 64), jnp.uint32)
+    for r in range(16):
+        cand = jnp.asarray(ac_rows[r])[size16]
+        entry = jnp.where(run16 == r, cand, entry)
+    dc_entry = jnp.asarray(np.asarray(dc_lut, np.uint32))[
+        jnp.minimum(size[:, :, 0], 11)]
+    entry = jnp.concatenate([dc_entry[:, :, None], entry[:, :, 1:]], axis=2)
+
+    clen = (entry >> 16).astype(jnp.int32)
+    code = (entry & 0xFFFF).astype(jnp.uint32)
+    bits = (code << jnp.minimum(size, 31).astype(jnp.uint32)) | vb
+    lens = clen + size
+    emit = is_dc | is_code | is_zrl | is_eob
+    lens = jnp.where(emit, lens, 0)
+    if valid is not None:
+        lens = lens * jnp.asarray(valid.astype(np.int32))[:, :, None]
+    return bits.reshape(S, B * 64), lens.reshape(S, B * 64)
+
+
 def make_huffman_luts(huff_enc_dc: np.ndarray, huff_enc_ac: np.ndarray):
     """Stack per-table-index encoder LUTs.
 

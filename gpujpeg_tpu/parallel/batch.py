@@ -12,10 +12,14 @@ a time; host-thread scaling only, test/misc/mt_encode.c).  Two axes:
            unit (the TPU analogue of sequence/context parallelism,
            SURVEY §2.3)
 
-Per-segment byte counts are all-gathered over 'seg' and exclusively scanned
-to produce global codestream offsets — the deterministic replacement for the
-reference's atomicAdd compaction (gpujpeg_huffman_gpu_encoder.cu:585-592),
-structurally identical to its pre-atomic prefix-sum kernel (:505-554).
+Each shard encodes its stripe fully on device (tokens, bit-merge pack,
+stuffing, restart markers); restart-marker indices are computed from
+`jax.lax.axis_index('seg')` so the concatenated scan carries the correct
+global RST(n mod 8) sequence.  Per-segment byte counts come back with the
+rows; global codestream offsets are an exclusive scan on the host during
+stitching — the deterministic replacement for the reference's atomicAdd
+compaction (gpujpeg_huffman_gpu_encoder.cu:585-592), structurally identical
+to its pre-atomic prefix-sum kernel (:505-554).
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models import encoder as enc_mod
-from ..stream import assemble, writer as jwriter
+from ..stream import writer as jwriter
 from ..types import ImageParameters, Parameters
 from ..utils.geometry import Geometry, get_geometry
 
@@ -58,13 +62,13 @@ def shardable(geo: Geometry, n_seg_shards: int) -> bool:
 
 
 def make_batch_encode_fn(mesh: Mesh, param: Parameters,
-                         pi: ImageParameters,
-                         cap_tokens: int, cap_words: int):
-    """Sharded batched encode: raw (B, ...) -> (words, seg_bytes, seg_base).
+                         pi: ImageParameters, caps: enc_mod.Caps):
+    """Sharded batched encode: raw (B, H, W, C) -> (rows, row_bytes).
 
     The frame batch is sharded over 'data'; each frame's rows over 'seg'.
-    Returns per-(frame, seg-shard) packed words and segment byte counts,
-    plus each shard's global byte base (from the all-gather + scan).
+    Every shard emits RST markers for ALL its segments (scan-final markers
+    of the whole frame are dropped during host stitching) with globally
+    correct RST(n mod 8) indices.
     """
     n_seg = mesh.shape["seg"]
     H = pi.height
@@ -73,26 +77,45 @@ def make_batch_encode_fn(mesh: Mesh, param: Parameters,
     geo_local = get_geometry(param, pi_local)
     if n_seg > 1 and not shardable(get_geometry(param, pi), n_seg):
         raise ValueError("geometry not row-shardable into whole segments")
-    frame_fn = enc_mod.make_device_encode_fn(geo_local, cap_tokens, cap_words)
+
+    tokens_impl = enc_mod.make_rows_tokens_impl(geo_local)
+    from ..ops import bitmerge
+
+    # per-scan local segment counts for global RST numbering
+    scan_bounds = geo_local.scan_seg_bounds
+    seg_scan = np.zeros(geo_local.segment_count, np.int32)
+    seg_local_idx = np.zeros(geo_local.segment_count, np.int32)
+    for k in range(geo_local.scan_count):
+        b0, b1 = scan_bounds[k], scan_bounds[k + 1]
+        seg_scan[b0:b1] = k
+        seg_local_idx[b0:b1] = np.arange(b1 - b0)
+    scan_counts = np.asarray([b1 - b0 for b0, b1 in
+                              zip(scan_bounds[:-1], scan_bounds[1:])],
+                             np.int64)
+
+    def frame_fn(raw, shard_idx):
+        bits, lens = tokens_impl(raw)
+        words, row_bits, _ = bitmerge.pack_rows_merge(bits, lens,
+                                                      caps=caps.pack)
+        seg_bytes = (row_bits + 7) >> 3
+        padded = bitmerge.or_pad_bits(words, row_bits)
+        # global RST index: shard stripes are scan-major contiguous
+        gidx = (shard_idx * jnp.asarray(scan_counts.astype(np.int32))[
+            jnp.asarray(seg_scan)] + jnp.asarray(seg_local_idx))
+        rst_marker = (0xD0 + (gidx % 8)).astype(jnp.uint32)
+        rows, out_bytes, _ = bitmerge.stuff_rows(
+            padded, seg_bytes, rst_marker, caps=caps.stuff)
+        return rows, out_bytes
 
     def shard_fn(raws):  # (B_local, H_local, W, C)
-        words, seg_bytes = jax.vmap(frame_fn)(raws)
-        # global byte offsets across the 'seg' axis (per frame):
-        # all-gather shard totals, exclusive-scan to this shard's base
-        totals = jnp.sum(seg_bytes, axis=1)  # (B_local,)
-        all_totals = jax.lax.all_gather(totals, "seg")  # (n_seg, B_local)
         my = jax.lax.axis_index("seg")
-        base = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (n_seg, 1), 0).reshape(-1)
-            < my, 1, 0
-        )[:, None] * all_totals
-        seg_base = jnp.sum(base, axis=0)  # (B_local,)
-        return (words[:, None], seg_bytes[:, None], seg_base[:, None])
+        rows, out_bytes = jax.vmap(lambda r: frame_fn(r, my))(raws)
+        return rows[:, None], out_bytes[:, None]
 
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("data", "seg"),),
-        out_specs=(P("data", "seg"), P("data", "seg"), P("data", "seg")),
+        out_specs=(P("data", "seg"), P("data", "seg")),
         check_vma=False,
     )
     return mapped, geo_local
@@ -102,53 +125,68 @@ class BatchEncoder:
     """Encode batches of equally-sized frames across a device mesh."""
 
     def __init__(self, mesh: Mesh, param: Parameters, pi: ImageParameters,
-                 cap_tokens: int = 1 << 16, cap_words: int = 1 << 14):
+                 caps: enc_mod.Caps = None, **_legacy):
         self.mesh = mesh
         self.param = enc_mod.adjust_params(param, pi)
         self.pi = pi
         self.geo = get_geometry(self.param, pi)
-        self.cap_tokens = cap_tokens
-        self.cap_words = cap_words
+        n_seg = mesh.shape["seg"]
+        geo_l = get_geometry(self.param, pi.with_(height=pi.height // n_seg))
+        self.caps = caps or enc_mod.Caps(
+            pack=bitmerge_worst(geo_l), stuff=stuff_worst(geo_l))
         fn, self.geo_local = make_batch_encode_fn(
-            mesh, self.param, pi, cap_tokens, cap_words)
+            mesh, self.param, pi, self.caps)
         self.fn = jax.jit(fn)
-        self.n_seg = mesh.shape["seg"]
+        self.n_seg = n_seg
 
     def encode_batch(self, raws) -> list:
         """raws: (B, H, W, C) uint8 -> list of JPEG byte strings."""
-        words, seg_bytes, _ = self.fn(jnp.asarray(raws))
-        words = np.asarray(words)      # (B, n_seg, cap_words)
-        seg_bytes = np.asarray(seg_bytes)  # (B, n_seg, nseg_local)
+        res = self.fn(jnp.asarray(raws))
+        jax.block_until_ready(res)
+        rows, row_bytes = (np.asarray(r) for r in res)
         header = jwriter.write_header(self.geo)
         out = []
-        for b in range(words.shape[0]):
-            out.append(self._stitch(header, words[b], seg_bytes[b]))
+        for b in range(rows.shape[0]):
+            out.append(self._stitch(header, rows[b], row_bytes[b]))
         return out
 
-    def _stitch(self, header: bytes, words_s: np.ndarray,
-                seg_bytes_s: np.ndarray) -> bytes:
-        """Reorder shard-local segments into global scan order and assemble.
+    def _stitch(self, header: bytes, rows_s: np.ndarray,
+                rb_s: np.ndarray) -> bytes:
+        """Reorder shard-local segments into global scan order and emit.
 
-        Shard s holds (for non-interleaved) [comp0 segs, comp1 segs, ...] of
-        its stripe; the global stream wants comp-major order across shards.
-        """
+        Shard s holds (for non-interleaved) [comp0 segs, comp1 segs, ...]
+        of its stripe; the global stream wants comp-major order across
+        shards.  Scan-final RST markers (present because shards cannot know
+        they are frame-final) are stripped here."""
         geo, geo_l = self.geo, self.geo_local
         n_seg = self.n_seg
-        # byte buffers per shard
-        bufs = [words_s[s].astype(">u4").view(np.uint8) for s in range(n_seg)]
-        # per-shard, per-scan segment slices
-        chunks = []
-        glob_seg_bytes = []
+        out = bytearray(header)
+        K4 = rows_s.shape[-1] * 4
+        by = rows_s.astype(">u4").view(np.uint8).reshape(n_seg, -1, K4)
         for scan_idx in range(geo.scan_count):
+            out += jwriter.write_scan_header(geo, scan_idx)
+            b0 = geo_l.scan_seg_bounds[scan_idx]
+            b1 = geo_l.scan_seg_bounds[scan_idx + 1]
             for s in range(n_seg):
-                sb = seg_bytes_s[s]
-                scan_counts = geo_l.scan_segment_counts
-                seg_lo = sum(scan_counts[:scan_idx])
-                seg_hi = seg_lo + scan_counts[scan_idx]
-                byte_lo = int(sb[:seg_lo].sum())
-                byte_hi = byte_lo + int(sb[seg_lo:seg_hi].sum())
-                chunks.append(bufs[s][byte_lo:byte_hi])
-                glob_seg_bytes.append(sb[seg_lo:seg_hi])
-        compact = np.concatenate(chunks)
-        seg_bytes = np.concatenate(glob_seg_bytes)
-        return assemble.assemble(geo, header, compact, seg_bytes)
+                sb = rb_s[s, b0:b1]
+                chunk = by[s, b0:b1]
+                mask = (np.arange(K4)[None, :] < sb[:, None])
+                body = chunk[mask]
+                if s == n_seg - 1:
+                    body = body[:-2]  # drop frame-final RST of this scan
+                out += body.tobytes()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+
+def bitmerge_worst(geo_l: Geometry):
+    from ..ops import bitmerge as bm
+
+    return bm.worst_caps(enc_mod.token_slots(geo_l), 27)
+
+
+def stuff_worst(geo_l: Geometry):
+    from ..ops import bitmerge as bm
+
+    K4 = bitmerge_worst(geo_l)[-1] * 4
+    return bm.worst_caps(K4 + 1, 16)
