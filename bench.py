@@ -85,7 +85,7 @@ def warmup():
 
     geo = next(iter(enc._caps))
     caps = enc._caps[geo]
-    print(json.dumps({"pack": list(caps.pack), "stuff": list(caps.stuff)}))
+    print(json.dumps({"pack": list(caps.pack), "z_cap": caps.z_cap}))
 
 
 def main():
@@ -120,7 +120,7 @@ def main():
                          pixel_format=PixelFormat.P444_U8_P012)
     geo = get_geometry(enc_mod.adjust_params(param, pi), pi)
     caps = enc_mod.Caps(pack=tuple(caps_json["pack"]),
-                        stuff=tuple(caps_json["stuff"]))
+                        z_cap=int(caps_json["z_cap"]))
 
     # Honest timing on this rig: block_until_ready does NOT synchronize
     # through the tunnel, and any fetch costs a large constant.  So run N

@@ -1,11 +1,14 @@
 """Decoder session: the TPU-native equivalent of gpujpeg_decoder.
 
 Host parses markers + splits/unstuffs segments (stream/reader.py,
-stream/segments.py); the device runs the segment-parallel Huffman decode
-while-loop, dequant+IDCT matmuls, and the postprocessor.
+stream/segments.py); the device runs the gather-free three-phase Huffman
+decode (ops/huffdec2: boundary scan -> buffer split -> per-block decode),
+then dequant+IDCT matmuls and the postprocessor.
 
 Mirrors gpujpeg_decoder_decode (src/gpujpeg_decoder.c:234-452) with lazy
-per-stream-geometry jit caches standing in for gpujpeg_decoder_init.
+per-stream-geometry jit caches standing in for gpujpeg_decoder_init, and
+content-adaptive split capacities with overflow-driven growth standing in
+for its worst-case buffer allocations.
 """
 
 from __future__ import annotations
@@ -17,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import dct, huffdec, sample
+from ..ops import dct, huffdec2, sample
 from ..stream import reader, segments as segprep
 from ..types import (ColorSpace, CorruptStreamError, ImageInfo,
                      ImageParameters, PixelFormat)
@@ -47,28 +50,181 @@ def default_output(ps: reader.ParsedStream) -> ImageParameters:
 
 @functools.lru_cache(maxsize=16)
 def _make_idct_post_fn(geo: Geometry):
-    """jit: (coefs_rows_flat, qtabs) -> output image."""
+    """jit: (coefs (nseg, bps, 64) storage-row layout, qtabs) -> image.
+
+    Per-component planes are carved out of the row layout with slices and
+    transposes only (no gathers): non-interleaved rows are per-component
+    raster order; interleaved rows are (mcu, comp-slot) order."""
     out_pi = geo.param_image
 
-    def fn(coefs_flat, qtabs):
+    def fn(coefs, qtabs):
         planes = []
-        for c in geo.components:
-            rowpos = geo.storage_to_rowpos[
-                geo.comp_block_base[c.index]: geo.comp_block_base[c.index + 1]]
-            comp_coefs = coefs_flat[jnp.asarray(rowpos)]
-            plane = dct.dequantize_idct_traced(
-                comp_coefs, qtabs[c.index], c.data_height, c.data_width)
-            planes.append(plane)
+        if not geo.interleaved:
+            base = 0
+            for c in geo.components:
+                S = c.segment_count
+                rst = c.segment_mcu_count
+                comp_rows = coefs[base:base + S].reshape(S * rst, 64)
+                comp_blocks = comp_rows[: c.mcu_count]
+                plane = dct.dequantize_idct_traced(
+                    comp_blocks, qtabs[c.index], c.data_height, c.data_width)
+                planes.append(plane)
+                base += S
+        else:
+            S = geo.segment_count
+            rst = geo.segment_mcu_count
+            bpm = geo.blocks_per_mcu
+            x = coefs.reshape(S * rst, bpm, 64)[: geo.mcu_count]
+            slot = 0
+            for c in geo.components:
+                bpm_c = c.samp_v * c.samp_h
+                xc = x[:, slot:slot + bpm_c]          # (nmcu, bpm_c, 64)
+                xc = xc.reshape(c.mcu_count_y, c.mcu_count_x,
+                                c.samp_v, c.samp_h, 64)
+                xc = xc.transpose(0, 2, 1, 3, 4).reshape(-1, 64)
+                plane = dct.dequantize_idct_traced(
+                    xc, qtabs[c.index], c.data_height, c.data_width)
+                planes.append(plane)
+                slot += bpm_c
         return sample.postprocess(planes, geo, out_pi)
 
     return jax.jit(fn)
+
+
+def _dc_fixup(coefs, comp_pattern: np.ndarray):
+    """Integrate differential DC along each segment row (per component).
+
+    coefs: (nseg, bps, 64) int; comp_pattern: (bps,) int component of each
+    block slot (constant along rows for non-interleaved scans)."""
+    dc = coefs[:, :, 0].astype(jnp.int32)
+    ncomp = int(comp_pattern.max()) + 1
+    acc = jnp.zeros_like(dc)
+    for c in range(ncomp):
+        m = jnp.asarray((comp_pattern == c).astype(np.int32))[None, :]
+        acc = acc + jnp.cumsum(dc * m, axis=1) * m
+    return jnp.concatenate([acc[:, :, None].astype(coefs.dtype),
+                            coefs[:, :, 1:]], axis=2)
+
+
+class _StreamPlan:
+    """Static decode plan for one (geometry, table-set) combination."""
+
+    def __init__(self, geo: Geometry, dc_specs, ac_specs,
+                 dc_luma_row: np.ndarray, ac_luma_row: np.ndarray,
+                 luma_patterns):
+        self.geo = geo
+        self.bps = geo.max_blocks_per_seg
+        self.dc_specs = dc_specs
+        self.ac_specs = ac_specs
+        self.dc_luma_row = dc_luma_row
+        self.ac_luma_row = ac_luma_row
+        self.luma_patterns = luma_patterns  # (dc_pat, ac_pat) or None
+        max_steps = self.bps * 66 + 4
+        self.scan_fn = huffdec2.make_scan_fn(
+            dc_specs, ac_specs, self.bps, max_steps,
+            luma_patterns=luma_patterns)
+        self.block_fn_cache: Dict[int, object] = {}
+        self.split_caps: Optional[Tuple[int, ...]] = None
+
+    def block_fn(self):
+        fn = self.block_fn_cache.get(0)
+        if fn is None:
+            fn = huffdec2.make_block_decode_fn(self.dc_specs, self.ac_specs,
+                                               max_steps=70)
+            self.block_fn_cache[0] = fn
+        return fn
 
 
 class Decoder:
     """Persistent decoder session (create once, decode many streams)."""
 
     def __init__(self) -> None:
-        self._fns: Dict = {}
+        self._plans: Dict = {}
+        self._split_fns: Dict = {}
+
+    def _plan_for(self, geo: Geometry, ps: reader.ParsedStream):
+        # map each component to its (dc, ac) table ids
+        comp_dc = np.zeros(geo.comp_count, np.int32)
+        comp_ac = np.zeros(geo.comp_count, np.int32)
+        for scan in ps.scans:
+            for ci, d, a in zip(scan.comp_indices, scan.dc_table,
+                                scan.ac_table):
+                comp_dc[ci], comp_ac[ci] = d, a
+        dc_ids = sorted(set(comp_dc.tolist()))
+        ac_ids = sorted(set(comp_ac.tolist()))
+        if len(dc_ids) > 2 or len(ac_ids) > 2:
+            raise CorruptStreamError("more than 2 Huffman table sets")
+
+        def spec(tabs, ids, i):
+            tid = ids[min(i, len(ids) - 1)]
+            return tables.huffman_decode_spec(*tabs[tid])
+
+        dc_specs = (spec(ps.huff_dc, dc_ids, 0), spec(ps.huff_dc, dc_ids, 1))
+        ac_specs = (spec(ps.huff_ac, ac_ids, 0), spec(ps.huff_ac, ac_ids, 1))
+
+        # per-block "luma" (= table-set-0) selectors
+        comp_dc_luma = (comp_dc == dc_ids[0])
+        comp_ac_luma = (comp_ac == ac_ids[0])
+        if not geo.interleaved:
+            dc_row, ac_row, comp_pat = [], [], []
+            for c in geo.components:
+                dc_row += [comp_dc_luma[c.index]] * c.segment_count
+                ac_row += [comp_ac_luma[c.index]] * c.segment_count
+            comp_pattern = np.zeros(geo.max_blocks_per_seg, np.int32)
+            patterns = None
+            dc_luma_row = np.asarray(dc_row, bool)
+            ac_luma_row = np.asarray(ac_row, bool)
+        else:
+            ent = []
+            for c in geo.components:
+                ent += [c.index] * (c.samp_v * c.samp_h)
+            bpm = geo.blocks_per_mcu
+            dc_pat = np.asarray([comp_dc_luma[e] for e in ent], bool)
+            ac_pat = np.asarray([comp_ac_luma[e] for e in ent], bool)
+            patterns = (dc_pat, ac_pat, bpm)
+            comp_pattern = np.tile(np.asarray(ent, np.int32),
+                                   geo.segment_mcu_count)
+            dc_luma_row = np.ones(geo.segment_count, bool)
+            ac_luma_row = np.ones(geo.segment_count, bool)
+
+        key = (geo, tuple(map(tuple, (s[0].tolist() for s in dc_specs))),
+               tuple(map(tuple, (s[0].tolist() for s in ac_specs))))
+        plan = self._plans.get(key)
+        if plan is None:
+            plan = _StreamPlan(geo, dc_specs, ac_specs, dc_luma_row,
+                               ac_luma_row, patterns)
+            plan.comp_pattern = comp_pattern
+            # per-block static info for phase C
+            if not geo.interleaved:
+                dcb, acb, vb = [], [], []
+                for c in geo.components:
+                    S, rst = c.segment_count, c.segment_mcu_count
+                    n = S * rst
+                    dcb += [comp_dc_luma[c.index]] * n
+                    acb += [comp_ac_luma[c.index]] * n
+                    vm = np.arange(n) < c.mcu_count
+                    vb.append(vm)
+                plan.blk_dc_luma = np.asarray(dcb, bool)
+                plan.blk_ac_luma = np.asarray(acb, bool)
+                plan.blk_valid = np.concatenate(vb)
+            else:
+                S, rst = geo.segment_count, geo.segment_mcu_count
+                bpm = geo.blocks_per_mcu
+                dc_pat, ac_pat, _ = patterns
+                plan.blk_dc_luma = np.tile(dc_pat, S * rst)
+                plan.blk_ac_luma = np.tile(ac_pat, S * rst)
+                mv = (np.arange(S * rst) < geo.mcu_count)
+                plan.blk_valid = np.repeat(mv, bpm)
+            self._plans[key] = plan
+        return plan
+
+    def _split_fn(self, bps: int, caps: Tuple[int, ...]):
+        key = (bps, caps)
+        fn = self._split_fns.get(key)
+        if fn is None:
+            fn = huffdec2.make_split_fn(bps, caps)
+            self._split_fns[key] = fn
+        return fn
 
     def decode(self, data: bytes,
                param_image: Optional[ImageParameters] = None) -> np.ndarray:
@@ -88,7 +244,6 @@ class Decoder:
         out_pi = out_pi.with_(width=ps.width, height=ps.height)
         geo = get_geometry(param, out_pi)
 
-        # ---- flatten scan segments in global segment order ----------------
         ranges = [r for scan in ps.scans for r in scan.segments]
         if len(ranges) != geo.segment_count:
             raise CorruptStreamError(
@@ -97,43 +252,44 @@ class Decoder:
         nseg = geo.segment_count
         max_seg_bytes = max((en - st) for st, en in ranges)
         max_words = _bucket((max_seg_bytes + 3) // 4)
-        words, nbits = segprep.pack_segments_matrix(ps.data, ranges, max_words)
+        words_np, nbits = segprep.pack_segments_matrix(ps.data, ranges,
+                                                       max_words)
+        plan = self._plan_for(geo, ps)
+        bps = plan.bps
 
-        # ---- per-block table maps ------------------------------------------
-        comp_dc = np.zeros(geo.comp_count, np.int32)
-        comp_ac = np.zeros(geo.comp_count, np.int32)
-        for scan in ps.scans:
-            for ci, d, a in zip(scan.comp_indices, scan.dc_table,
-                                scan.ac_table):
-                comp_dc[ci], comp_ac[ci] = d, a
-        # stack decode LUTs: DC tables first, then AC
-        dc_ids = sorted(ps.huff_dc)
-        ac_ids = sorted(ps.huff_ac)
-        lut = np.stack(
-            [tables.huffman_decode_lut16(*ps.huff_dc[i]) for i in dc_ids]
-            + [tables.huffman_decode_lut16(*ps.huff_ac[i]) for i in ac_ids])
-        dc_slot = {i: k for k, i in enumerate(dc_ids)}
-        ac_slot = {i: len(dc_ids) + k for k, i in enumerate(ac_ids)}
+        words = jnp.asarray(words_np)
+        nbits_d = jnp.asarray(nbits)
+        blocks_per_seg = jnp.asarray(
+            plan.blk_valid.reshape(nseg, bps).sum(axis=1).astype(np.int32))
 
-        rows = geo.seg_rows  # (nseg, max_bps) -> stream block or -1
-        valid = rows >= 0
-        comp_of_block = np.where(valid, geo.stream_comp[np.maximum(rows, 0)], 0)
-        dc_tab = np.vectorize(lambda c: dc_slot[int(comp_dc[c])])(
-            comp_of_block).astype(np.int32)
-        ac_tab = np.vectorize(lambda c: ac_slot[int(comp_ac[c])])(
-            comp_of_block).astype(np.int32)
-        blocks_per_seg = valid.sum(axis=1).astype(np.int32)
-        max_bps = geo.max_blocks_per_seg
-        max_iters = max_bps * 65 + 2
+        # phase A: block boundaries
+        bstart, errA = plan.scan_fn(words, nbits_d, blocks_per_seg,
+                                    jnp.asarray(plan.dc_luma_row),
+                                    jnp.asarray(plan.ac_luma_row))
+        needs = huffdec2.split_needs(bstart, bps)
+        jax.block_until_ready(needs)
+        needs_np = np.asarray(needs)
+        caps = plan.split_caps
+        levels = len(needs_np)
+        if caps is None or any(int(needs_np[i]) > caps[i]
+                               for i in range(levels)):
+            caps = tuple(
+                max(int(needs_np[i]) + 1,
+                    caps[i] if caps else 0) for i in range(levels))
+            plan.split_caps = caps
 
-        coefs_flat, err = huffdec.decode_segments(
-            jnp.asarray(words), jnp.asarray(nbits),
-            jnp.asarray(blocks_per_seg),
-            jnp.asarray(dc_tab), jnp.asarray(ac_tab),
-            jnp.asarray(comp_of_block.astype(np.int32)),
-            jnp.asarray(lut),
-            max_bps=max_bps, max_iters=max_iters)
-        coefs_flat = coefs_flat.reshape(nseg * max_bps, 64)
+        # phase B: split into per-block buffers
+        bufs = self._split_fn(bps, caps)(words, bstart)
+        L = nseg * bps
+        bufs = bufs.reshape(L, -1)
+        bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(L)
+
+        # phase C: per-block decode
+        coefs, errC = plan.block_fn()(
+            bufs, bit_len,
+            jnp.asarray(plan.blk_dc_luma), jnp.asarray(plan.blk_ac_luma),
+            jnp.asarray(plan.blk_valid))
+        coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), plan.comp_pattern)
 
         qtabs = np.stack([
             ps.quant_tables[ps.quant_map[c.index]]
@@ -141,13 +297,13 @@ class Decoder:
         ]).astype(np.float32)
 
         fn = _make_idct_post_fn(geo)
-        out = fn(coefs_flat, jnp.asarray(qtabs))
-        err_np = np.asarray(err)
-        if err_np.any():
+        out = fn(coefs, jnp.asarray(qtabs))
+        jax.block_until_ready(out)
+        err = np.asarray(errA).any() or np.asarray(errC).any()
+        if err:
             import logging
             logging.getLogger("gpujpeg_tpu").warning(
-                "%d corrupt segment(s) during Huffman decode",
-                int(err_np.sum()))
+                "corrupt segment(s) during Huffman decode")
         return np.asarray(out)
 
     def get_image_info(self, data: bytes) -> ImageInfo:

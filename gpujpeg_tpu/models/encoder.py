@@ -161,10 +161,11 @@ def token_slots(geo: Geometry) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class Caps:
-    """Sticky per-geometry merge-tree capacities (words per level)."""
+    """Sticky per-geometry capacities: merge-tree words per level + the
+    max per-row stuffed-zero count handled by the roll-chain stuffer."""
 
     pack: Tuple[int, ...]
-    stuff: Tuple[int, ...]
+    z_cap: int = 8
 
     @property
     def row_words(self) -> int:
@@ -179,16 +180,11 @@ def initial_caps(geo: Geometry, bits_per_token: float = 6.0) -> Caps:
     pack = tuple(
         min(w, max(1, -(-int((1 << (lv + 1)) * bits_per_token) // 32)))
         for lv, w in enumerate(worst))
-    K4 = pack[-1] * 4
-    worst_st = bitmerge.worst_caps(K4 + 1, 16)
-    stuff = tuple(
-        min(w, max(1, -(-int((1 << (lv + 1)) * 9) // 32)))
-        for lv, w in enumerate(worst_st))
-    return Caps(pack=pack, stuff=stuff)
+    return Caps(pack=pack, z_cap=max(8, pack[-1] // 16))
 
 
 def grown_caps(geo: Geometry, caps: Caps, need_pack: np.ndarray,
-               need_stuff: np.ndarray, headroom: float = 1.3) -> Caps:
+               need_z: int, headroom: float = 1.3) -> Caps:
     """Grow any level whose realized need exceeded its capacity."""
     T = token_slots(geo)
     worst = bitmerge.worst_caps(T, 27)
@@ -196,15 +192,8 @@ def grown_caps(geo: Geometry, caps: Caps, need_pack: np.ndarray,
         min(worst[i], max(caps.pack[i],
                           -(-int(need_pack[i] * headroom) // 32)))
         for i in range(len(caps.pack)))
-    K4 = pack[-1] * 4
-    worst_st = bitmerge.worst_caps(K4 + 1, 16)
-    old = caps.stuff
-    stuff = []
-    for i, w in enumerate(worst_st):
-        base = old[i] if i < len(old) else 1
-        ns = int(need_stuff[i]) if i < len(need_stuff) else 0
-        stuff.append(min(w, max(base, -(-int(ns * headroom) // 32))))
-    return Caps(pack=pack, stuff=tuple(stuff))
+    z_cap = max(caps.z_cap, int(need_z * headroom) + 2)
+    return Caps(pack=pack, z_cap=z_cap)
 
 
 def make_full_encode_fn(geo: Geometry, caps: Caps):
@@ -228,18 +217,18 @@ def make_full_encode_fn(geo: Geometry, caps: Caps):
             bits, lens, caps=caps.pack)
         seg_bytes = (row_bits + 7) >> 3
         padded = bitmerge.or_pad_bits(words, row_bits)
-        rows, out_bytes, need2 = bitmerge.stuff_rows(
-            padded, seg_bytes, geo.rst_marker, caps=caps.stuff)
+        rows, out_bytes, max_z = bitmerge.stuff_rows_roll(
+            padded, seg_bytes, geo.rst_marker, z_cap=caps.z_cap)
         cs = jnp.cumsum(out_bytes)
         scan_start = (cs - out_bytes)[jnp.asarray(scan_first)]
         scan_end = cs[jnp.asarray(scan_last)]
         meta = jnp.concatenate([
-            need1, need2, scan_start, scan_end, cs[-1:],
+            need1, max_z[None], scan_start, scan_end, cs[-1:],
         ]).astype(jnp.int32)
         return {"rows": rows, "row_bytes": out_bytes, "meta": meta}
 
     fn._n1 = len(caps.pack)
-    fn._n2 = len(caps.stuff)
+    fn._n2 = 1
     return fn
 
 
@@ -262,7 +251,7 @@ class Encoder:
         fn = self._fns.get(key)
         if fn is None:
             fn = jax.jit(make_full_encode_fn(geo, caps))
-            fn._n1, fn._n2 = len(caps.pack), len(caps.stuff)
+            fn._n1 = len(caps.pack)
             self._fns[key] = fn
         return fn
 
@@ -307,13 +296,12 @@ class Encoder:
             # slow path on some host links — always block first.
             jax.block_until_ready(res["meta"])
             meta = np.asarray(res["meta"])
-            n1, n2 = fn._n1, fn._n2
-            need1, need2 = meta[:n1], meta[n1:n1 + n2]
+            n1 = fn._n1
+            need1, need_z = meta[:n1], int(meta[n1])
             ok1 = all(int(need1[i]) <= caps.pack[i] * 32 for i in range(n1))
-            ok2 = all(int(need2[i]) <= caps.stuff[i] * 32 for i in range(n2))
-            if ok1 and ok2:
+            if ok1 and need_z <= caps.z_cap:
                 return geo, res, meta
-            caps = grown_caps(geo, caps, need1, need2)
+            caps = grown_caps(geo, caps, need1, need_z)
             self._caps[geo] = caps
         raise RuntimeError("encode capacity did not converge")
 
@@ -321,9 +309,8 @@ class Encoder:
         """Host codestream assembly from device rows (headers + per-scan
         row compaction; RST markers and stuffing arrive from the device)."""
         fn_n1 = len(self._caps[geo].pack)
-        fn_n2 = len(self._caps[geo].stuff)
         ns = geo.scan_count
-        base = fn_n1 + fn_n2
+        base = fn_n1 + 1
         scan_start = meta[base:base + ns]
         scan_end = meta[base + ns:base + 2 * ns]
 

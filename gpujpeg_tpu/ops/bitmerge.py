@@ -229,3 +229,78 @@ def stuff_rows(words: jnp.ndarray, row_bytes: jnp.ndarray,
 def stuff_caps(K4: int) -> Tuple[int, ...]:
     """Worst-case cap schedule for the stuffing tree over K4+1 byte tokens."""
     return worst_caps(K4 + 1, 16)
+
+
+def stuff_rows_roll(words: jnp.ndarray, row_bytes: jnp.ndarray,
+                    rst_marker, z_cap: int):
+    """Byte-stuff packed rows + append restart markers, as a small
+    roll-select chain (replaces the 16-bit-token merge tree, which was
+    sized by the densest row and dominated the encode).
+
+    A row's output byte q is either a stuffed 0x00 or source byte
+    q - z(q), where z(q) counts stuffed zeros before q — and z is tiny
+    (~bytes/256).  Stuffed positions are marked with ONE sparse scatter
+    (~n/256 elements), z comes from a row cumsum, and the source lookup is
+    a select chain over z_cap static rolls.  Content-adaptive z_cap with
+    overflow signalling, like the merge-tree capacities.
+
+    words:      (R, K) uint32 packed+padded rows
+    row_bytes:  (R,) int32 valid byte count per row
+    rst_marker: (R,) uint8/uint32 static or traced; 0 = no marker
+    z_cap:      static max stuffed zeros per row handled
+
+    Returns (rows_u32, out_bytes, max_z): stuffed rows as
+    (R, ceil((4K + z_cap + 2)/4)) uint32, per-row byte counts (marker
+    included), and the realized max per-row stuffed count for overflow
+    detection (valid iff max_z <= z_cap).
+    """
+    R, K = words.shape
+    n_in = K * 4
+    by = jnp.stack([(words >> 24) & 0xFF, (words >> 16) & 0xFF,
+                    (words >> 8) & 0xFF, words & 0xFF],
+                   axis=-1).reshape(R, n_in).astype(jnp.uint32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, n_in), 1)
+    valid = col < row_bytes[:, None]
+    is_ff = valid & (by == 0xFF)
+    ffx = jnp.cumsum(is_ff.astype(jnp.int32), axis=1) - is_ff
+    nff = jnp.sum(is_ff.astype(jnp.int32), axis=1)
+    max_z = jnp.max(nff)
+
+    K_out4 = n_in + ((z_cap + 2 + 3) // 4) * 4
+    # mark stuffed output positions: out position of src ff byte j is
+    # j + ffx[j]; its stuffed zero lands right after
+    mark_pos = jnp.where(is_ff, col + ffx + 1, K_out4)
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (R, n_in), 0)
+    flat = jnp.where(is_ff, row_id * (K_out4 + 1) + mark_pos,
+                     R * (K_out4 + 1))
+    marks = jnp.zeros(R * (K_out4 + 1), jnp.int32).at[
+        flat.reshape(-1)].set(1, mode="drop")
+    marks = marks.reshape(R, K_out4 + 1)[:, :K_out4]
+
+    z = jnp.cumsum(marks, axis=1)          # inclusive; m(q)==0 => z==count<q
+    out = jnp.zeros((R, K_out4), jnp.uint32)
+    src = jnp.pad(by, ((0, 0), (0, K_out4 - n_in)))
+    rolled = src
+    for k in range(min(z_cap, n_in) + 1):
+        if k > 0:
+            rolled = jnp.concatenate(
+                [jnp.zeros((R, 1), jnp.uint32), rolled[:, :-1]], axis=1)
+        out = jnp.where(z == k, rolled, out)
+    out = jnp.where(marks > 0, 0, out)
+
+    # restart markers after the stuffed payload
+    end_out = row_bytes + nff
+    qcol = jax.lax.broadcasted_iota(jnp.int32, (R, K_out4), 1)
+    rst = jnp.asarray(rst_marker).astype(jnp.uint32)
+    has = (rst != 0)[:, None]
+    out = jnp.where(has & (qcol == end_out[:, None]), 0xFF, out)
+    out = jnp.where(has & (qcol == end_out[:, None] + 1), rst[:, None], out)
+    marker_len = jnp.where(has[:, 0], 2, 0).astype(jnp.int32)
+    out = jnp.where(qcol >= (end_out + marker_len)[:, None], 0, out)
+    out_bytes = end_out + marker_len
+
+    # pack back to big-endian words
+    o = out.reshape(R, K_out4 // 4, 4)
+    rows = ((o[:, :, 0] << 24) | (o[:, :, 1] << 16)
+            | (o[:, :, 2] << 8) | o[:, :, 3])
+    return rows, out_bytes, max_z

@@ -103,19 +103,19 @@ def make_batch_encode_fn(mesh: Mesh, param: Parameters,
         gidx = (shard_idx * jnp.asarray(scan_counts.astype(np.int32))[
             jnp.asarray(seg_scan)] + jnp.asarray(seg_local_idx))
         rst_marker = (0xD0 + (gidx % 8)).astype(jnp.uint32)
-        rows, out_bytes, _ = bitmerge.stuff_rows(
-            padded, seg_bytes, rst_marker, caps=caps.stuff)
-        return rows, out_bytes
+        rows, out_bytes, max_z = bitmerge.stuff_rows_roll(
+            padded, seg_bytes, rst_marker, z_cap=caps.z_cap)
+        return rows, out_bytes, max_z
 
     def shard_fn(raws):  # (B_local, H_local, W, C)
         my = jax.lax.axis_index("seg")
-        rows, out_bytes = jax.vmap(lambda r: frame_fn(r, my))(raws)
-        return rows[:, None], out_bytes[:, None]
+        rows, out_bytes, max_z = jax.vmap(lambda r: frame_fn(r, my))(raws)
+        return rows[:, None], out_bytes[:, None], max_z[:, None]
 
     mapped = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("data", "seg"),),
-        out_specs=(P("data", "seg"), P("data", "seg")),
+        out_specs=(P("data", "seg"), P("data", "seg"), P("data", "seg")),
         check_vma=False,
     )
     return mapped, geo_local
@@ -132,8 +132,12 @@ class BatchEncoder:
         self.geo = get_geometry(self.param, pi)
         n_seg = mesh.shape["seg"]
         geo_l = get_geometry(self.param, pi.with_(height=pi.height // n_seg))
-        self.caps = caps or enc_mod.Caps(
-            pack=bitmerge_worst(geo_l), stuff=stuff_worst(geo_l))
+        if caps is None:
+            # worst-case tree capacities (always correct); the stuffing
+            # z_cap is validated per batch via the max_z output
+            pack = bitmerge_worst(geo_l)
+            caps = enc_mod.Caps(pack=pack, z_cap=max(16, pack[-1] // 8))
+        self.caps = caps
         fn, self.geo_local = make_batch_encode_fn(
             mesh, self.param, pi, self.caps)
         self.fn = jax.jit(fn)
@@ -143,7 +147,12 @@ class BatchEncoder:
         """raws: (B, H, W, C) uint8 -> list of JPEG byte strings."""
         res = self.fn(jnp.asarray(raws))
         jax.block_until_ready(res)
-        rows, row_bytes = (np.asarray(r) for r in res)
+        rows, row_bytes, max_z = (np.asarray(r) for r in res)
+        if int(max_z.max()) > self.caps.z_cap:
+            raise RuntimeError(
+                f"stuffing z_cap overflow ({int(max_z.max())} > "
+                f"{self.caps.z_cap}); construct BatchEncoder with larger "
+                "caps.z_cap")
         header = jwriter.write_header(self.geo)
         out = []
         for b in range(rows.shape[0]):
@@ -185,8 +194,4 @@ def bitmerge_worst(geo_l: Geometry):
     return bm.worst_caps(enc_mod.token_slots(geo_l), 27)
 
 
-def stuff_worst(geo_l: Geometry):
-    from ..ops import bitmerge as bm
 
-    K4 = bitmerge_worst(geo_l)[-1] * 4
-    return bm.worst_caps(K4 + 1, 16)

@@ -259,6 +259,38 @@ def huffman_decode_lut16(bits: np.ndarray, values: np.ndarray) -> np.ndarray:
     return lut
 
 
+def huffman_decode_spec(bits: np.ndarray, values: np.ndarray):
+    """Canonical decode parameters for the arithmetic (table-free) decoder.
+
+    Returns (maxcode16, valoff, huffval16):
+      maxcode16: (17,) int32 — largest 16-bit-LEFT-ALIGNED code of each
+                 length (compare peek16 directly, no per-length shifts);
+                 -1 where the length has no codes
+      valoff:    (17,) int32 — valptr[l] - mincode[l] (F.15), so that
+                 symbol_index = (peek16 >> (16-l)) + valoff[l]
+      huffval16: (11, 16) int32 — symbol values padded into 16-wide rows
+                 for free small-table selects (11*16 >= 162)
+    Mirrors gpujpeg_table.c:383-449 re-shaped for TPU vector selects.
+    """
+    syms, lens, codes = huffman_canonical(bits, values)
+    maxcode16 = np.full(17, -1, dtype=np.int64)
+    valoff = np.zeros(17, dtype=np.int64)
+    k = 0
+    for l in range(1, 17):
+        n = int(bits[l])
+        if n == 0:
+            continue
+        mincode = codes[k]
+        maxcode = codes[k + n - 1]
+        valoff[l] = k - mincode
+        maxcode16[l] = (int(maxcode) << (16 - l)) | ((1 << (16 - l)) - 1)
+        k += n
+    hv = np.zeros(11 * 16, dtype=np.int32)
+    hv[: len(values)] = np.asarray(values[: len(syms)], dtype=np.int32)
+    return (maxcode16.astype(np.int64), valoff.astype(np.int32),
+            hv.reshape(11, 16))
+
+
 def huffman_spec_for(table_class: str, luma: bool):
     """(bits, values) for the default table of a class ('dc'|'ac')."""
     if table_class == "dc":
