@@ -108,5 +108,10 @@ def generate(filename: str) -> Tuple[np.ndarray, ImageParameters]:
         data = np.random.default_rng().integers(
             0, 256, size=size, dtype=np.uint8)
     else:  # random (deterministic)
-        data = lcg_bytes(size, tst["seed"])
+        from .. import native
+
+        if native.available():
+            data = native.lcg_fill(size, tst["seed"])
+        else:
+            data = lcg_bytes(size, tst["seed"])
     return data, pi

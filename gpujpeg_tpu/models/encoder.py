@@ -180,7 +180,7 @@ def initial_caps(geo: Geometry, bits_per_token: float = 6.0) -> Caps:
     pack = tuple(
         min(w, max(1, -(-int((1 << (lv + 1)) * bits_per_token) // 32)))
         for lv, w in enumerate(worst))
-    return Caps(pack=pack, z_cap=max(8, pack[-1] // 16))
+    return Caps(pack=pack, z_cap=max(16, pack[-1] // 32))
 
 
 def grown_caps(geo: Geometry, caps: Caps, need_pack: np.ndarray,
@@ -317,7 +317,8 @@ class Encoder:
         rows = np.asarray(res["rows"])
         row_bytes = np.asarray(res["row_bytes"])
         by = rows.astype(">u4").view(np.uint8).reshape(rows.shape[0], -1)
-        mask = (np.arange(by.shape[1])[None, :] < row_bytes[:, None])
+
+        from .. import native
 
         out = bytearray(jwriter.write_header(geo))
         want_seginfo = geo.param.segment_info or self.segment_info
@@ -328,7 +329,7 @@ class Encoder:
                     [[0], np.cumsum(row_bytes[b0:b1])]).astype(np.int64)
                 out += jwriter.write_segment_info_headers(k, offs)
             out += jwriter.write_scan_header(geo, k)
-            out += by[b0:b1][mask[b0:b1]].tobytes()
+            out += native.assemble_rows(by[b0:b1], row_bytes[b0:b1])
         out += b"\xff\xd9"
         return bytes(out)
 

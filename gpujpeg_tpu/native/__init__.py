@@ -1,1 +1,160 @@
-"""native subpackage."""
+"""Native C++ host runtime (ctypes-bound; numpy fallbacks when unavailable).
+
+The reference's host layer is C (stream assembly, scan splitting,
+unstuffing, test-pattern generation); this package provides the same
+routines as a small C++ library built on demand with g++/OpenMP, loaded
+through ctypes (no pybind11 dependency).  Every entry point has a numpy
+fallback so the pure-Python install keeps working.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_dir() -> str:
+    d = os.environ.get("GPUJPEG_TPU_NATIVE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "gpujpeg_tpu")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _ensure_built() -> Optional[str]:
+    src = os.path.join(os.path.dirname(__file__), "stream.cpp")
+    if not os.path.exists(src):
+        return None
+    out = os.path.join(_build_dir(), "libgpujpeg_tpu_native.so")
+    if (os.path.exists(out)
+            and os.path.getmtime(out) >= os.path.getmtime(src)):
+        return out
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", out]
+    try:
+        subprocess.run(cmd + ["-fopenmp", "-march=native"],
+                       check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except Exception:
+            return None
+    return out
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None (numpy fallbacks engage)."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("GPUJPEG_TPU_NO_NATIVE"):
+        return None
+    path = _ensure_built()
+    if path is None:
+        return None
+    try:
+        L = ctypes.CDLL(path)
+        L.gj_assemble_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        L.gj_scan_split.restype = ctypes.c_int64
+        L.gj_scan_split.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
+        L.gj_unstuff_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p]
+        L.gj_lcg_fill.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_uint32]
+        L.gj_native_version.restype = ctypes.c_int
+        _LIB = L
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def assemble_rows(rows_bytes: np.ndarray, row_bytes: np.ndarray) -> bytes:
+    """Compact (nseg, stride) uint8 rows into one contiguous byte string."""
+    nseg, stride = rows_bytes.shape
+    row_bytes = np.ascontiguousarray(row_bytes, np.int32)
+    offsets = np.zeros(nseg, np.int64)
+    np.cumsum(row_bytes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + row_bytes[-1]) if nseg else 0
+    L = lib()
+    if L is None:
+        mask = (np.arange(stride)[None, :] < row_bytes[:, None])
+        return rows_bytes[mask].tobytes()
+    out = np.empty(total, np.uint8)
+    rows_bytes = np.ascontiguousarray(rows_bytes)
+    L.gj_assemble_rows(_ptr(rows_bytes), nseg, stride, _ptr(row_bytes),
+                       _ptr(offsets), _ptr(out))
+    return out.tobytes()
+
+
+def scan_split(data: np.ndarray, start: int, max_segments: int):
+    """Split scan entropy data at RST markers (native memchr loop).
+
+    Returns (segments [(abs_start, abs_end)), end_pos, bad_markers) or
+    None when the native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    data = np.ascontiguousarray(data)
+    sub = data[start:]
+    starts = np.zeros(max_segments, np.int64)
+    ends = np.zeros(max_segments, np.int64)
+    end_pos = ctypes.c_int64(0)
+    bad = ctypes.c_int64(0)
+    n = L.gj_scan_split(_ptr(sub), len(sub), _ptr(starts), _ptr(ends),
+                        max_segments, ctypes.byref(end_pos),
+                        ctypes.byref(bad))
+    segs = [(int(starts[i]) + start, int(ends[i]) + start)
+            for i in range(n)]
+    return segs, int(end_pos.value) + start, int(bad.value)
+
+
+def unstuff_rows(data: np.ndarray, ranges, row_words: int):
+    """Unstuff segments into a (nseg, row_words) big-endian u32 matrix.
+
+    Returns (words, nbits) or None when the native library is missing."""
+    L = lib()
+    if L is None:
+        return None
+    nseg = len(ranges)
+    starts = np.asarray([r[0] for r in ranges], np.int64)
+    ends = np.asarray([r[1] for r in ranges], np.int64)
+    mat = np.empty((nseg, row_words * 4), np.uint8)
+    out_bytes = np.zeros(nseg, np.int32)
+    data = np.ascontiguousarray(data)
+    L.gj_unstuff_rows(_ptr(data), nseg, _ptr(starts), _ptr(ends),
+                      _ptr(mat), row_words, _ptr(out_bytes))
+    words = mat.view(">u4").astype(np.uint32)
+    return words, (out_bytes * 8).astype(np.int32)
+
+
+def lcg_fill(n: int, seed: int) -> np.ndarray:
+    L = lib()
+    out = np.empty(n, np.uint8)
+    if L is None:
+        from ..io.tst import lcg_bytes
+
+        return lcg_bytes(n, seed)
+    L.gj_lcg_fill(_ptr(out), n, seed & 0xFFFFFFFF)
+    return out

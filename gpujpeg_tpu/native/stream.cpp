@@ -1,0 +1,121 @@
+// Native host-side codestream routines (the TPU build's counterpart of the
+// reference's C host layer: stream assembly gpujpeg_encoder.c:566-624 and
+// the memchr scan splitter gpujpeg_reader.c:1038-1155).
+//
+// Exposed with a plain C ABI for ctypes; no Python headers needed.
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC stream.cpp -o libgpujpeg_tpu_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Compact per-segment rows into one contiguous stream.
+//   rows:      nseg x row_stride bytes (big-endian word layout already
+//              byte-ordered by the caller)
+//   row_bytes: per-row valid byte counts
+//   offsets:   per-row output offsets (exclusive prefix sum, caller-built)
+//   out:       destination buffer (size >= offsets[nseg-1] + row_bytes[nseg-1])
+void gj_assemble_rows(const uint8_t* rows, int64_t nseg, int64_t row_stride,
+                      const int32_t* row_bytes, const int64_t* offsets,
+                      uint8_t* out) {
+#pragma omp parallel for schedule(static)
+    for (int64_t s = 0; s < nseg; ++s) {
+        std::memcpy(out + offsets[s], rows + s * row_stride,
+                    (size_t)row_bytes[s]);
+    }
+}
+
+// Scan-split one entropy-coded scan: find RST markers, record segment byte
+// ranges (marker bytes excluded).  Returns the number of segments found and
+// sets *end_pos to the offset of the terminating non-RST marker (or n).
+//   data/n:    scan bytes starting at entropy data
+//   starts/ends: caller-allocated arrays of capacity max_segments
+//   expected_rst: if >= 0, verify the RST0-7 modulo sequence from this
+//              index; out_bad_markers counts mismatches (reference logs
+//              "[Recovery]", gpujpeg_reader.c:1071-1104)
+int64_t gj_scan_split(const uint8_t* data, int64_t n,
+                      int64_t* starts, int64_t* ends, int64_t max_segments,
+                      int64_t* end_pos, int64_t* out_bad_markers) {
+    int64_t nseg = 0;
+    int64_t seg_start = 0;
+    int64_t bad = 0;
+    int64_t i = 0;
+    int rst_idx = 0;
+    while (i + 1 < n) {
+        const uint8_t* p =
+            (const uint8_t*)std::memchr(data + i, 0xFF, (size_t)(n - 1 - i));
+        if (!p) { i = n; break; }
+        i = p - data;
+        uint8_t nxt = data[i + 1];
+        if (nxt == 0x00) { i += 2; continue; }        // stuffed
+        if (nxt == 0xFF) { i += 1; continue; }        // fill byte
+        if (nxt >= 0xD0 && nxt <= 0xD7) {             // RSTn
+            if (nseg < max_segments && i > seg_start) {
+                starts[nseg] = seg_start;
+                ends[nseg] = i;
+                ++nseg;
+            }
+            if (nxt != 0xD0 + (rst_idx & 7)) ++bad;
+            ++rst_idx;
+            i += 2;
+            seg_start = i;
+            continue;
+        }
+        break;                                        // real marker: end
+    }
+    if (i + 1 >= n) i = n;
+    if (nseg < max_segments && i > seg_start) {
+        starts[nseg] = seg_start;
+        ends[nseg] = i;
+        ++nseg;
+    }
+    *end_pos = i;
+    *out_bad_markers = bad;
+    return nseg;
+}
+
+// Unstuff (0xFF 0x00 -> 0xFF) all segments into a padded row matrix of
+// big-endian 32-bit words, zero-filled.  Returns nothing; writes per-row
+// unstuffed byte counts.
+//   data:      full codestream
+//   starts/ends: segment byte ranges (stuffed)
+//   mat:       nseg x (row_words*4) bytes, zeroed by callee
+void gj_unstuff_rows(const uint8_t* data, int64_t nseg,
+                     const int64_t* starts, const int64_t* ends,
+                     uint8_t* mat, int64_t row_words,
+                     int32_t* out_bytes) {
+    const int64_t stride = row_words * 4;
+#pragma omp parallel for schedule(dynamic, 64)
+    for (int64_t s = 0; s < nseg; ++s) {
+        uint8_t* dst = mat + s * stride;
+        std::memset(dst, 0, (size_t)stride);
+        int64_t w = 0;
+        const int64_t lim = stride;
+        for (int64_t i = starts[s]; i < ends[s] && w < lim; ++i) {
+            uint8_t b = data[i];
+            dst[w++] = b;
+            if (b == 0xFF && i + 1 < ends[s] && data[i + 1] == 0x00) ++i;
+        }
+        out_bytes[s] = (int32_t)w;
+    }
+}
+
+// Deterministic LCG test-pattern fill (image_delegate.c:560-582).
+void gj_lcg_fill(uint8_t* out, int64_t n, uint32_t seed) {
+    const uint64_t A = 1664525u, C = 1013904223u, M = 2147483647u;
+    uint64_t state = seed % M;
+    for (int64_t i = 0; i < n; ++i) {
+        state = (A * state + C) % M;
+        out[i] = (uint8_t)(state % 256u);
+    }
+}
+
+int gj_native_version(void) { return 1; }
+
+}  // extern "C"

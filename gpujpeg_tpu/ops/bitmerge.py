@@ -258,7 +258,7 @@ def stuff_rows_roll(words: jnp.ndarray, row_bytes: jnp.ndarray,
     n_in = K * 4
     by = jnp.stack([(words >> 24) & 0xFF, (words >> 16) & 0xFF,
                     (words >> 8) & 0xFF, words & 0xFF],
-                   axis=-1).reshape(R, n_in).astype(jnp.uint32)
+                   axis=-1).reshape(R, n_in).astype(jnp.uint8)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, n_in), 1)
     valid = col < row_bytes[:, None]
     is_ff = valid & (by == 0xFF)
@@ -273,34 +273,40 @@ def stuff_rows_roll(words: jnp.ndarray, row_bytes: jnp.ndarray,
     row_id = jax.lax.broadcasted_iota(jnp.int32, (R, n_in), 0)
     flat = jnp.where(is_ff, row_id * (K_out4 + 1) + mark_pos,
                      R * (K_out4 + 1))
-    marks = jnp.zeros(R * (K_out4 + 1), jnp.int32).at[
+    marks = jnp.zeros(R * (K_out4 + 1), jnp.uint8).at[
         flat.reshape(-1)].set(1, mode="drop")
     marks = marks.reshape(R, K_out4 + 1)[:, :K_out4]
 
-    z = jnp.cumsum(marks, axis=1)          # inclusive; m(q)==0 => z==count<q
-    out = jnp.zeros((R, K_out4), jnp.uint32)
+    z = jnp.cumsum(marks.astype(jnp.int16), axis=1)  # inclusive cumsum
     src = jnp.pad(by, ((0, 0), (0, K_out4 - n_in)))
-    rolled = src
-    for k in range(min(z_cap, n_in) + 1):
-        if k > 0:
-            rolled = jnp.concatenate(
-                [jnp.zeros((R, 1), jnp.uint32), rolled[:, :-1]], axis=1)
-        out = jnp.where(z == k, rolled, out)
-    out = jnp.where(marks > 0, 0, out)
+
+    # out[q] = src[q - z(q)] via a fori roll-select chain (memory stays at
+    # two row arrays; the unrolled form materialized z_cap copies)
+    def body(k, carry):
+        out, rolled = carry
+        out = jnp.where(z == k.astype(jnp.int16), rolled, out)
+        rolled = jnp.concatenate(
+            [jnp.zeros((R, 1), jnp.uint8), rolled[:, :-1]], axis=1)
+        return out, rolled
+
+    out0 = jnp.zeros((R, K_out4), jnp.uint8)
+    out, _ = jax.lax.fori_loop(0, min(z_cap, n_in) + 1, body, (out0, src))
+    out = jnp.where(marks > 0, jnp.uint8(0), out)
 
     # restart markers after the stuffed payload
     end_out = row_bytes + nff
     qcol = jax.lax.broadcasted_iota(jnp.int32, (R, K_out4), 1)
-    rst = jnp.asarray(rst_marker).astype(jnp.uint32)
+    rst = jnp.asarray(rst_marker).astype(jnp.uint8)
     has = (rst != 0)[:, None]
-    out = jnp.where(has & (qcol == end_out[:, None]), 0xFF, out)
+    out = jnp.where(has & (qcol == end_out[:, None]), jnp.uint8(0xFF), out)
     out = jnp.where(has & (qcol == end_out[:, None] + 1), rst[:, None], out)
     marker_len = jnp.where(has[:, 0], 2, 0).astype(jnp.int32)
-    out = jnp.where(qcol >= (end_out + marker_len)[:, None], 0, out)
+    out = jnp.where(qcol >= (end_out + marker_len)[:, None],
+                    jnp.uint8(0), out)
     out_bytes = end_out + marker_len
 
     # pack back to big-endian words
-    o = out.reshape(R, K_out4 // 4, 4)
+    o = out.reshape(R, K_out4 // 4, 4).astype(jnp.uint32)
     rows = ((o[:, :, 0] << 24) | (o[:, :, 1] << 16)
             | (o[:, :, 2] << 8) | o[:, :, 3])
     return rows, out_bytes, max_z

@@ -92,6 +92,15 @@ def _read_segment_body(data: np.ndarray, start: int,
     reader.c:1131-1134).
     """
     n = len(data)
+    from .. import native
+
+    nat = native.scan_split(data, start, max(4, n // 2))
+    if nat is not None:
+        segments, end_pos, bad = nat
+        if bad:
+            log.warning("[Recovery] %d restart markers out of sequence", bad)
+        return segments, end_pos
+
     ff = np.flatnonzero(data[start:n - 1] == 0xFF) + start
     nxt = data[ff + 1]
     significant = (nxt != 0x00) & (nxt != 0xFF)

@@ -24,6 +24,12 @@ def pack_segments_matrix(data: np.ndarray,
     Returns (words, nbits): (nseg, max_words+1) uint32 big-endian-packed
     rows (+1 guard word) and per-segment unstuffed bit counts.
     """
+    from .. import native
+
+    nat = native.unstuff_rows(data, ranges, max_words + 1)
+    if nat is not None:
+        return nat
+
     nseg = len(ranges)
     starts = np.asarray([r[0] for r in ranges], dtype=np.int64)
     ends = np.asarray([r[1] for r in ranges], dtype=np.int64)
