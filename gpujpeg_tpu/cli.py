@@ -129,6 +129,27 @@ def _image_params_for(path: str, args, exists: bool) -> ImageParameters:
     return pi
 
 
+def apply_options(args, enc=None, dec=None) -> None:
+    """-O key=value passthrough (main.c -O, enc_*/dec_* prefixes)."""
+    for spec in args.options:
+        if spec == "help":
+            from .models.decoder import Decoder
+            from .models.encoder import Encoder
+
+            print("encoder options:")
+            print(Encoder.print_options())
+            print("decoder options:")
+            print(Decoder.print_options())
+            raise SystemExit(0)
+        if "=" not in spec:
+            raise SystemExit(f"bad option {spec!r}, expected key=value")
+        key, value = spec.split("=", 1)
+        if key.startswith("enc_") and enc is not None:
+            enc.set_option(key, value)
+        elif key.startswith("dec_") and dec is not None:
+            dec.set_option(key, value)
+
+
 def run_encode(args, enc, in_path: str, out_path: str) -> None:
     arr, pi_file = iio.load(in_path)
     pi = _image_params_for(in_path, args, exists=True)
@@ -293,12 +314,14 @@ def main(argv: Optional[list] = None) -> int:
                 from .models.encoder import Encoder
 
                 encoder = Encoder()
+                apply_options(args, enc=encoder)
             run_encode(args, encoder, in_path, out_path)
         elif decode:
             if decoder is None:
                 from .models.decoder import Decoder
 
                 decoder = Decoder()
+                apply_options(args, dec=decoder)
             run_decode(args, decoder, in_path, out_path)
         else:
             print(f"cannot infer direction for {in_path} -> {out_path}; "

@@ -41,10 +41,19 @@ def _pil_load(data: bytes) -> Tuple[np.ndarray, ImageParameters]:
                                 color_space=cs, pixel_format=pf)
 
 
+#: TGA RLE compression toggle (reference dec_opt_tga_rle,
+#: image_delegate.c:470-474)
+TGA_RLE = True
+
+
 def _pil_save(path: str, pi: ImageParameters, arr: np.ndarray) -> None:
     from PIL import Image
 
-    Image.fromarray(arr).save(path)
+    img = Image.fromarray(arr)
+    if path.lower().endswith(".tga"):
+        img.save(path, rle=TGA_RLE)
+    else:
+        img.save(path)
 
 
 def load(filename: str):

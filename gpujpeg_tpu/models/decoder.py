@@ -141,6 +141,40 @@ class Decoder:
     def __init__(self) -> None:
         self._plans: Dict = {}
         self._split_fns: Dict = {}
+        self.flipped = False
+        self.channel_remap = None
+        self.alignment_bytes = 0
+
+    # -- options (gpujpeg_decoder_set_option, gpujpeg_decoder.c:485-524) ----
+    def set_option(self, key: str, value: str) -> None:
+        """Stringly options, reference-compatible keys
+        (libgpujpeg/gpujpeg_decoder.h:293-304)."""
+        if key == "dec_opt_tga_rle":
+            from ..io import image as iio
+
+            iio.TGA_RLE = value == "true"
+            return
+        if key == "dec_opt_flipped":
+            self.flipped = value == "true"
+            return
+        if key == "dec_opt_channel_remap":
+            if not all(c in "0123FfZz" for c in value) or not value:
+                raise ValueError(f"bad channel remap {value!r}")
+            self.channel_remap = value
+            return
+        if key == "dec_opt_alignment_bytes":
+            self.alignment_bytes = int(value)
+            return
+        raise ValueError(f"invalid decoder option {key!r}")
+
+    @staticmethod
+    def print_options() -> str:
+        """gpujpeg_decoder_print_options equivalent."""
+        return (
+            "\tdec_opt_tga_rle=[false|true] - RLE TGA output\n"
+            "\tdec_opt_flipped=[false|true] - vertically flip output\n"
+            "\tdec_opt_channel_remap=XYZ[W] - output channel mapping\n"
+            "\tdec_opt_alignment_bytes=<num> - output row alignment\n")
 
     def _plan_for(self, geo: Geometry, ps: reader.ParsedStream):
         # map each component to its (dc, ac) table ids
@@ -298,6 +332,7 @@ class Decoder:
 
         fn = _make_idct_post_fn(geo)
         out = fn(coefs, jnp.asarray(qtabs))
+        out = self._apply_output_options(out)
         jax.block_until_ready(out)
         err = np.asarray(errA).any() or np.asarray(errC).any()
         if err:
@@ -305,6 +340,31 @@ class Decoder:
             logging.getLogger("gpujpeg_tpu").warning(
                 "corrupt segment(s) during Huffman decode")
         return np.asarray(out)
+
+    def _apply_output_options(self, out):
+        """Vertical flip / channel remap / row alignment on the decoded
+        image (reference postprocessor options)."""
+        if self.flipped and out.ndim >= 2:
+            out = out[::-1]
+        if self.channel_remap and out.ndim == 3:
+            chans = []
+            for ch in self.channel_remap:
+                if ch in "Ff":
+                    chans.append(jnp.full(out.shape[:2], 255, out.dtype))
+                elif ch in "Zz":
+                    chans.append(jnp.zeros(out.shape[:2], out.dtype))
+                else:
+                    chans.append(out[:, :, int(ch)])
+            out = jnp.stack(chans, axis=-1)
+        if self.alignment_bytes > 1 and out.ndim == 3:
+            h, w, c = out.shape
+            stride = w * c
+            pad = (-stride) % self.alignment_bytes
+            if pad:
+                flat = out.reshape(h, stride)
+                flat = jnp.pad(flat, ((0, 0), (0, pad)))
+                out = flat  # padded rows; caller sees (H, stride+pad)
+        return out
 
     def get_image_info(self, data: bytes) -> ImageInfo:
         return reader.get_image_info(data)

@@ -85,7 +85,30 @@ def _component_luts(quality: int):
     return qtabs, dc, ac
 
 
-def make_rows_tokens_impl(geo: Geometry):
+def apply_pre_transform(raw, pre):
+    """Optional vertical flip + channel remap before preprocessing
+    (reference preprocessor options: flip gpujpeg_preprocessor.cu:456-486,
+    remap :488-559).  `pre` = (flipped, remap) with remap like '210F'
+    (digit = source channel, F = all-ones, Z = all-zeros)."""
+    if pre is None:
+        return raw
+    flipped, remap = pre
+    if flipped:
+        raw = raw[::-1] if raw.ndim >= 2 else raw
+    if remap and raw.ndim == 3:
+        chans = []
+        for ch in remap:
+            if ch in "Ff":
+                chans.append(jnp.full(raw.shape[:2], 255, raw.dtype))
+            elif ch in "Zz":
+                chans.append(jnp.zeros(raw.shape[:2], raw.dtype))
+            else:
+                chans.append(raw[:, :, int(ch)])
+        raw = jnp.stack(chans, axis=-1)
+    return raw
+
+
+def make_rows_tokens_impl(geo: Geometry, pre=None):
     """Build the raw -> (bits_rows, lens_rows) device function: per-segment
     token rows (nseg, T) in stream order, assembled purely with
     reshape/transpose/concat (the reference's device block list,
@@ -101,6 +124,7 @@ def make_rows_tokens_impl(geo: Geometry):
             valids.append(vm)
 
         def fn(raw):
+            raw = apply_pre_transform(raw, pre)
             planes = sample.preprocess(raw, geo, geo.param_image)
             bits_list, lens_list = [], []
             for c in geo.components:
@@ -125,6 +149,7 @@ def make_rows_tokens_impl(geo: Geometry):
         mcu_valid = (np.arange(S * rst).reshape(S, rst) < nmcu)
 
         def fn(raw):
+            raw = apply_pre_transform(raw, pre)
             planes = sample.preprocess(raw, geo, geo.param_image)
             per_comp = []
             for c in geo.components:
@@ -196,7 +221,7 @@ def grown_caps(geo: Geometry, caps: Caps, need_pack: np.ndarray,
     return Caps(pack=pack, z_cap=z_cap)
 
 
-def make_full_encode_fn(geo: Geometry, caps: Caps):
+def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
     """The complete device-side encode as ONE jittable program.
 
     Returns fn(raw) -> dict:
@@ -207,7 +232,7 @@ def make_full_encode_fn(geo: Geometry, caps: Caps):
                  scan_end..., total_bytes] — one small fetch per frame
                  covers overflow detection and host assembly offsets
     """
-    tokens_impl = make_rows_tokens_impl(geo)
+    tokens_impl = make_rows_tokens_impl(geo, pre)
     scan_first = geo.scan_seg_bounds[:-1].astype(np.int32)
     scan_last = (geo.scan_seg_bounds[1:] - 1).astype(np.int32)
 
@@ -241,16 +266,76 @@ class Encoder:
         self.stats = DurationStats()
         self._frames = 0
         self.segment_info = False
+        self.flipped = False
+        self.channel_remap: Optional[str] = None
+        self.header_type_override = None
+        self.exif_tags: List[str] = []
+        self.orientation = None
 
     # -- options (gpujpeg_encoder_set_option, gpujpeg_encoder.c:736-795) -----
     def set_option(self, key: str, value: str) -> None:
-        raise NotImplementedError(f"option {key!r} not supported yet")
+        """Stringly options, reference-compatible keys
+        (libgpujpeg/gpujpeg_encoder.h:211-242)."""
+        from ..types import HeaderType, Orientation
+
+        if key in ("enc_opt_out", "enc_out_pinned"):
+            # pinned host buffers have no TPU analogue; accepted for
+            # compatibility (device arrays are the zero-copy path)
+            return
+        if key == "enc_hdr":
+            m = {"JFIF": HeaderType.JFIF, "Exif": HeaderType.EXIF,
+                 "Adobe": HeaderType.ADOBE, "SPIFF": HeaderType.SPIFF}
+            if value not in m:
+                raise ValueError(f"unknown header type {value!r}")
+            self.header_type_override = m[value]
+            return
+        if key == "enc_opt_flipped":
+            self.flipped = value == "true"
+            return
+        if key == "enc_opt_channel_remap":
+            if not all(c in "0123FfZz" for c in value) or not value:
+                raise ValueError(f"bad channel remap {value!r}")
+            self.channel_remap = value
+            return
+        if key == "enc_exif_tag":
+            self.header_type_override = HeaderType.EXIF
+            self.exif_tags.append(value)
+            return
+        if key == "enc_metadata":
+            if value.startswith("orientation="):
+                # "orientation=<rot>[,flip]"
+                parts = value.split("=", 1)[1].split(",")
+                self.orientation = Orientation(
+                    rotation=int(parts[0]) & 3,
+                    flip=len(parts) > 1 and parts[1] == "flip")
+                return
+            raise ValueError(f"unknown metadata {value!r}")
+        raise ValueError(f"invalid encoder option {key!r}")
+
+    @staticmethod
+    def print_options() -> str:
+        """gpujpeg_encoder_print_options equivalent."""
+        return (
+            "\tenc_opt_out=[enc_out_val_pageable|enc_out_val_pinned] - "
+            "accepted for compatibility (no TPU analogue)\n"
+            "\tenc_hdr=[JFIF|Adobe|Exif|SPIFF] - output JPEG header\n"
+            "\tenc_opt_flipped=[false|true] - vertically flip input\n"
+            "\tenc_opt_channel_remap=XYZ[W] - input channel mapping, eg. "
+            "'210F' for GBRX; 'F'/'Z' = all-ones/all-zeros\n"
+            "\tenc_exif_tag=<key>:TYPE=<value> - custom EXIF tag\n"
+            "\tenc_metadata=orientation=<rot>[,flip] - image metadata\n")
+
+    def _pre(self):
+        if not self.flipped and not self.channel_remap:
+            return None
+        return (self.flipped, self.channel_remap)
 
     def _get_fn(self, geo: Geometry, caps: Caps):
-        key = (geo, caps)
+        pre = self._pre()
+        key = (geo, caps, pre)
         fn = self._fns.get(key)
         if fn is None:
-            fn = jax.jit(make_full_encode_fn(geo, caps))
+            fn = jax.jit(make_full_encode_fn(geo, caps, pre))
             fn._n1 = len(caps.pack)
             self._fns[key] = fn
         return fn
@@ -316,11 +401,15 @@ class Encoder:
 
         rows = np.asarray(res["rows"])
         row_bytes = np.asarray(res["row_bytes"])
-        by = rows.astype(">u4").view(np.uint8).reshape(rows.shape[0], -1)
+        by = np.ascontiguousarray(rows.astype(">u4")).view(np.uint8)
+        by = by.reshape(rows.shape[0], -1)
 
         from .. import native
 
-        out = bytearray(jwriter.write_header(geo))
+        out = bytearray(jwriter.write_header(
+            geo, orientation=self.orientation,
+            exif_tags=self.exif_tags or None,
+            header_type=self.header_type_override))
         want_seginfo = geo.param.segment_info or self.segment_info
         for k in range(ns):
             b0, b1 = geo.scan_seg_bounds[k], geo.scan_seg_bounds[k + 1]

@@ -171,7 +171,8 @@ class BatchEncoder:
         n_seg = self.n_seg
         out = bytearray(header)
         K4 = rows_s.shape[-1] * 4
-        by = rows_s.astype(">u4").view(np.uint8).reshape(n_seg, -1, K4)
+        by = np.ascontiguousarray(rows_s.astype(">u4")).view(np.uint8)
+        by = by.reshape(n_seg, -1, K4)
         for scan_idx in range(geo.scan_count):
             out += jwriter.write_scan_header(geo, scan_idx)
             b0 = geo_l.scan_seg_bounds[scan_idx]

@@ -182,14 +182,16 @@ def resolve_header_type(param: Parameters,
 
 def write_header(geo: Geometry,
                  orientation: Optional[Orientation] = None,
-                 exif_tags: Optional[list] = None) -> bytes:
+                 exif_tags: Optional[list] = None,
+                 header_type: Optional[HeaderType] = None) -> bytes:
     """Everything from SOI up to (not including) the first scan header
     (gpujpeg_writer_write_header, gpujpeg_writer.c:450-518)."""
     param = geo.param
     w = Writer()
     w.marker(markers.SOI)
 
-    ht = resolve_header_type(param, orientation)
+    ht = header_type if header_type is not None else \
+        resolve_header_type(param, orientation)
     if ht & HeaderType.SPIFF:
         write_spiff(w, param, geo.param_image.width, geo.param_image.height,
                     orientation)
