@@ -280,17 +280,28 @@ def stuff_rows_roll(words: jnp.ndarray, row_bytes: jnp.ndarray,
     z = jnp.cumsum(marks.astype(jnp.int16), axis=1)  # inclusive cumsum
     src = jnp.pad(by, ((0, 0), (0, K_out4 - n_in)))
 
-    # out[q] = src[q - z(q)] via a fori roll-select chain (memory stays at
-    # two row arrays; the unrolled form materialized z_cap copies)
-    def body(k, carry):
-        out, rolled = carry
-        out = jnp.where(z == k.astype(jnp.int16), rolled, out)
-        rolled = jnp.concatenate(
-            [jnp.zeros((R, 1), jnp.uint8), rolled[:, :-1]], axis=1)
-        return out, rolled
+    # out[q] = src[q - z(q)] via a roll-select chain.  Unrolled when short
+    # (XLA fuses the selects into a handful of passes); fori fallback keeps
+    # memory bounded for pathological z_cap.
+    n_rolls = min(z_cap, n_in) + 1
+    if n_rolls <= 48:
+        out = jnp.zeros((R, K_out4), jnp.uint8)
+        rolled = src
+        for k in range(n_rolls):
+            if k > 0:
+                rolled = jnp.concatenate(
+                    [jnp.zeros((R, 1), jnp.uint8), rolled[:, :-1]], axis=1)
+            out = jnp.where(z == k, rolled, out)
+    else:
+        def body(k, carry):
+            out, rolled = carry
+            out = jnp.where(z == k.astype(jnp.int16), rolled, out)
+            rolled = jnp.concatenate(
+                [jnp.zeros((R, 1), jnp.uint8), rolled[:, :-1]], axis=1)
+            return out, rolled
 
-    out0 = jnp.zeros((R, K_out4), jnp.uint8)
-    out, _ = jax.lax.fori_loop(0, min(z_cap, n_in) + 1, body, (out0, src))
+        out0 = jnp.zeros((R, K_out4), jnp.uint8)
+        out, _ = jax.lax.fori_loop(0, n_rolls, body, (out0, src))
     out = jnp.where(marks > 0, jnp.uint8(0), out)
 
     # restart markers after the stuffed payload

@@ -18,8 +18,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..types import (ColorSpace, CorruptStreamError, HeaderType, ImageInfo,
-                     Orientation, Parameters, SamplingFactor,
-                     UnsupportedStreamError)
+                     Orientation, Parameters, RestartChangeError,
+                     SamplingFactor, UnsupportedStreamError)
 from . import markers
 
 log = logging.getLogger("gpujpeg_tpu")
@@ -33,6 +33,8 @@ class ScanInfo:
     segments: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
     # byte ranges [start, end) into the original buffer, entropy data only
     # (RST markers excluded)
+    sos_pos: int = -1            # offset of the 0xFF of this scan's SOS
+    data_start: int = -1         # offset of the first entropy byte
 
 
 @dataclasses.dataclass
@@ -252,6 +254,12 @@ def parse(data: bytes) -> ParsedStream:
                 off += 17 + nval
         elif marker == markers.DRI:
             ri = _u16(body, 0)
+            if ps.scans and ri != ps.restart_interval:
+                # mid-stream DRI change (GPUJPEG_ERR_RESTART_CHANGE,
+                # gpujpeg_reader.c:996-1026)
+                raise RestartChangeError(
+                    f"restart interval changed mid-stream "
+                    f"({ps.restart_interval} -> {ri})")
             ps.restart_interval = ri
         elif marker == markers.SOS:
             ns = body[0]
@@ -268,6 +276,8 @@ def parse(data: bytes) -> ParsedStream:
                 scan.dc_table.append(tabs >> 4)
                 scan.ac_table.append(tabs & 0x0F)
             scan_data_start = pos + length
+            scan.sos_pos = pos - 2
+            scan.data_start = scan_data_start
             si = ps.segment_info.get(len(ps.scans))
             if si:
                 # O(1) segment split from APP13 offsets (reader.c:1167-1232)
