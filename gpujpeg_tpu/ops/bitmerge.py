@@ -105,6 +105,31 @@ def _pad_axis_to(buf: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
     return jnp.concatenate([buf, jnp.zeros(pad_shape, buf.dtype)], axis=axis)
 
 
+def _planes_shift(planes, shift, max_words: int):
+    """Bitstream right-shift of buffers stored as a LIST of (R, N) word
+    planes (word w of every buffer lives in planes[w]).  TPU-friendly: no
+    small sublane/minor dims to pad; the word axis is the Python list."""
+    K = len(planes)
+    r = (shift & 31).astype(jnp.uint32)
+    rz = r == 0
+    carry_sh = jnp.uint32(32) - jnp.where(rz, jnp.uint32(1), r)
+    out = []
+    for i in range(K):
+        hi = planes[i] >> r
+        if i > 0:
+            c = jnp.where(rz, jnp.uint32(0), planes[i - 1] << carry_sh)
+            hi = hi | c
+        out.append(hi)
+    w = (shift >> 5).astype(jnp.int32)
+    step = 1
+    while step <= min(max_words, K - 1):
+        moved = ([jnp.zeros_like(out[0])] * step) + out[:-step]
+        sel = (w & step) != 0
+        out = [jnp.where(sel, m, o) for m, o in zip(moved, out)]
+        step *= 2
+    return out
+
+
 def pack_rows_merge(bits: jnp.ndarray, lens: jnp.ndarray,
                     caps: Optional[Sequence[int]] = None,
                     max_token_bits: int = 27):
@@ -114,6 +139,11 @@ def pack_rows_merge(bits: jnp.ndarray, lens: jnp.ndarray,
     caps: per-level word capacities (see worst_caps); levels whose realized
     need exceeds cap*32 produce truncated garbage that the caller detects
     via level_need and retries with grown capacities.
+
+    Buffers live as LISTS of (R, N) word planes while the buffer count N is
+    large (no padding waste on small word counts — TPU pads the minor dim
+    to 128 lanes and the sublane dim to 8), switching to a packed
+    (R, N, K) array once N is small and K large.
 
     Returns (words, row_bits, level_need):
       words:     (R, K_final) uint32 packed rows
@@ -128,49 +158,53 @@ def pack_rows_merge(bits: jnp.ndarray, lens: jnp.ndarray,
 
     row_bits = jnp.sum(lens, axis=1, dtype=jnp.int32)
 
-    # level-0: (R, 1, N) buffers, N-minor layout (K axis = 1)
-    buf = (bits << jnp.clip(32 - lens, 0, 31).astype(jnp.uint32))
-    buf = jnp.where(lens >= 32, bits, buf)[:, None, :]
+    # level-0: one word plane
+    lvl0 = (bits << jnp.clip(32 - lens, 0, 31).astype(jnp.uint32))
+    planes = [jnp.where(lens >= 32, bits, lvl0)]
     blen = lens
-    kminor = False          # False: (R, K, N); True: (R, N, K)
     N = T
+    packed = None           # (R, N, K) once switched
     needs: List[jnp.ndarray] = []
 
     for lv in range(1, levels + 1):
         K_new = int(caps[lv - 1])
         M = (N + 1) // 2
         theory_w = ((1 << (lv - 1)) * max_token_bits) >> 5
-        if not kminor:
-            if N % 2:
-                buf = _pad_axis_to(buf, N + 1, 2)
-            a = buf[:, :, 0::2]
-            b = buf[:, :, 1::2]
-            a = _pad_axis_to(a, K_new, 1)
-            b = _pad_axis_to(b, K_new, 1)
-            word_axis = 1
-        else:
-            if N % 2:
-                buf = _pad_axis_to(buf, N + 1, 1)
-            a = buf[:, 0::2, :]
-            b = buf[:, 1::2, :]
-            a = _pad_axis_to(a, K_new, 2)
-            b = _pad_axis_to(b, K_new, 2)
-            word_axis = 2
         if N % 2:
             blen = jnp.pad(blen, ((0, 0), (0, 1)))
         la = blen[:, 0::2]
         lb = blen[:, 1::2]
-        b = _bitstream_shift(b, la, word_axis, min(theory_w, K_new - 1))
-        buf = a | b
+
+        if packed is None:
+            if N % 2:
+                planes = [jnp.pad(p, ((0, 0), (0, 1))) for p in planes]
+            a = [p[:, 0::2] for p in planes]
+            b = [p[:, 1::2] for p in planes]
+            z = jnp.zeros_like(a[0])
+            a = a + [z] * (K_new - len(a)) if len(a) < K_new else a[:K_new]
+            b = b + [z] * (K_new - len(b)) if len(b) < K_new else b[:K_new]
+            b = _planes_shift(b, la, min(theory_w, K_new - 1))
+            planes = [x | y for x, y in zip(a, b)]
+        else:
+            if N % 2:
+                packed = _pad_axis_to(packed, N + 1, 1)
+            a = _pad_axis_to(packed[:, 0::2, :], K_new, 2)
+            b = _pad_axis_to(packed[:, 1::2, :], K_new, 2)
+            b = _bitstream_shift(b, la, 2, min(theory_w, K_new - 1))
+            packed = a | b
         blen = la + lb
         needs.append(jnp.max(blen).astype(jnp.int32))
         N = M
-        # keep the larger axis minor
-        if not kminor and K_new > N:
-            buf = jnp.swapaxes(buf, 1, 2)
-            kminor = True
+        # switch to packed (R, N, K) once buffers outnumber... i.e. when the
+        # word count exceeds the remaining buffer count
+        if packed is None and K_new > max(N, 32):
+            packed = jnp.stack(planes, axis=2)
+            planes = None
 
-    words = buf[:, 0, :] if kminor else buf[:, :, 0]
+    if packed is not None:
+        words = packed[:, 0, :]
+    else:
+        words = jnp.stack([p[:, 0] for p in planes], axis=1)
     return words, row_bits, jnp.stack(needs)
 
 
@@ -262,47 +296,38 @@ def stuff_rows_roll(words: jnp.ndarray, row_bytes: jnp.ndarray,
     col = jax.lax.broadcasted_iota(jnp.int32, (R, n_in), 1)
     valid = col < row_bytes[:, None]
     is_ff = valid & (by == 0xFF)
-    ffx = jnp.cumsum(is_ff.astype(jnp.int32), axis=1) - is_ff
-    nff = jnp.sum(is_ff.astype(jnp.int32), axis=1)
+    ffx_incl = jnp.cumsum(is_ff.astype(jnp.int16), axis=1)
+    nff = ffx_incl[:, -1].astype(jnp.int32)
     max_z = jnp.max(nff)
 
     K_out4 = n_in + ((z_cap + 2 + 3) // 4) * 4
-    # mark stuffed output positions: out position of src ff byte j is
-    # j + ffx[j]; its stuffed zero lands right after
-    mark_pos = jnp.where(is_ff, col + ffx + 1, K_out4)
-    row_id = jax.lax.broadcasted_iota(jnp.int32, (R, n_in), 0)
-    flat = jnp.where(is_ff, row_id * (K_out4 + 1) + mark_pos,
-                     R * (K_out4 + 1))
-    marks = jnp.zeros(R * (K_out4 + 1), jnp.uint8).at[
-        flat.reshape(-1)].set(1, mode="drop")
-    marks = marks.reshape(R, K_out4 + 1)[:, :K_out4]
+    BIG = jnp.int32(K_out4 + 7)
 
-    z = jnp.cumsum(marks.astype(jnp.int16), axis=1)  # inclusive cumsum
+    # output position of the k-th stuffed zero, as ONE masked row-reduction
+    # per k (no scatter: an XLA scatter visits every index slot, ~10ns each)
+    n_rolls = min(z_cap, n_in)
+    pos = []
+    for k in range(1, n_rolls + 1):
+        m = is_ff & (ffx_incl == k)
+        p = jnp.sum(jnp.where(m, col + k, 0), axis=1)
+        pos.append(jnp.where(nff >= k, p, BIG))
+    # z(q) counts stuffed zeros at positions < q... inclusive at q
+    qcol0 = jax.lax.broadcasted_iota(jnp.int32, (R, K_out4), 1)
+    z = jnp.zeros((R, K_out4), jnp.int16)
+    stuffed = jnp.zeros((R, K_out4), jnp.bool_)
+    for k in range(n_rolls):
+        z = z + (qcol0 >= pos[k][:, None]).astype(jnp.int16)
+        stuffed = stuffed | (qcol0 == pos[k][:, None])
+
     src = jnp.pad(by, ((0, 0), (0, K_out4 - n_in)))
-
-    # out[q] = src[q - z(q)] via a roll-select chain.  Unrolled when short
-    # (XLA fuses the selects into a handful of passes); fori fallback keeps
-    # memory bounded for pathological z_cap.
-    n_rolls = min(z_cap, n_in) + 1
-    if n_rolls <= 48:
-        out = jnp.zeros((R, K_out4), jnp.uint8)
-        rolled = src
-        for k in range(n_rolls):
-            if k > 0:
-                rolled = jnp.concatenate(
-                    [jnp.zeros((R, 1), jnp.uint8), rolled[:, :-1]], axis=1)
-            out = jnp.where(z == k, rolled, out)
-    else:
-        def body(k, carry):
-            out, rolled = carry
-            out = jnp.where(z == k.astype(jnp.int16), rolled, out)
+    out = jnp.zeros((R, K_out4), jnp.uint8)
+    rolled = src
+    for k in range(n_rolls + 1):
+        if k > 0:
             rolled = jnp.concatenate(
                 [jnp.zeros((R, 1), jnp.uint8), rolled[:, :-1]], axis=1)
-            return out, rolled
-
-        out0 = jnp.zeros((R, K_out4), jnp.uint8)
-        out, _ = jax.lax.fori_loop(0, n_rolls, body, (out0, src))
-    out = jnp.where(marks > 0, jnp.uint8(0), out)
+        out = jnp.where(z == k, rolled, out)
+    out = jnp.where(stuffed, jnp.uint8(0), out)
 
     # restart markers after the stuffed payload
     end_out = row_bytes + nff
