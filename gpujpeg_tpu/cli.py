@@ -185,6 +185,11 @@ def run_encode(args, enc, in_path: str, out_path: str) -> None:
         dt = (time.perf_counter() - t0) * 1000
         if args.verbose or args.iterate > 1:
             print(f"encode {in_path}: {dt:.2f} ms", file=sys.stderr)
+            if args.verbose > 1:
+                enc.get_stats().print()
+    if args.iterate > 1:
+        print(f"encode {in_path}: {enc.aggregate.summary()}",
+              file=sys.stderr)
     with open(out_path, "wb") as f:
         f.write(out)
     print(f"encoded {in_path} -> {out_path} "

@@ -60,7 +60,13 @@ def adjust_params(param: Parameters, pi: ImageParameters) -> Parameters:
 
 @dataclasses.dataclass
 class DurationStats:
-    """Per-phase timings (gpujpeg_duration_stats, gpujpeg_common.h:365-375)."""
+    """Per-phase timings (gpujpeg_duration_stats, gpujpeg_common.h:365-375).
+
+    On TPU the device pipeline is ONE fused program, so the per-kernel
+    splits of the reference collapse into duration_in_gpu; host phases are
+    reported separately.  Aggregates mirror coder_process_stats
+    (gpujpeg_common.c:2169-2254: running average, and the average without
+    the first frame, which carries compilation)."""
 
     duration_memory_to: float = 0.0
     duration_memory_from: float = 0.0
@@ -69,6 +75,43 @@ class DurationStats:
     duration_huffman_coder: float = 0.0
     duration_stream: float = 0.0
     duration_in_gpu: float = 0.0
+
+    def print(self, file=None) -> None:
+        import sys
+
+        f = file or sys.stderr
+        print(f" -Device pipeline:    {self.duration_in_gpu:9.2f} ms",
+              file=f)
+        print(f" -Stream Formatter:   {self.duration_stream:9.2f} ms",
+              file=f)
+        if self.duration_memory_from:
+            print(f" -Copy From Device:   "
+                  f"{self.duration_memory_from:9.2f} ms", file=f)
+
+
+@dataclasses.dataclass
+class AggregateStats:
+    """Running averages (gpujpeg_common.c:2238-2254)."""
+
+    frames: int = 0
+    total_ms: float = 0.0
+    total_ms_wo_first: float = 0.0
+
+    def add(self, ms: float) -> None:
+        self.frames += 1
+        self.total_ms += ms
+        if self.frames > 1:
+            self.total_ms_wo_first += ms
+
+    def summary(self) -> str:
+        if not self.frames:
+            return "no frames"
+        avg = self.total_ms / self.frames
+        s = f"avg {avg:.2f} ms / frame ({self.frames} frames)"
+        if self.frames > 1:
+            s += (f"; {self.total_ms_wo_first / (self.frames - 1):.2f} ms"
+                  " without first")
+        return s
 
 
 @functools.lru_cache(maxsize=32)
@@ -264,6 +307,7 @@ class Encoder:
         self._fns: Dict[Tuple, object] = {}
         self._caps: Dict[Geometry, Caps] = {}
         self.stats = DurationStats()
+        self.aggregate = AggregateStats()
         self._frames = 0
         self.segment_info = False
         self.flipped = False
@@ -437,6 +481,7 @@ class Encoder:
         t2 = time.perf_counter()
         self.stats.duration_in_gpu = (t1 - t0) * 1000.0
         self.stats.duration_stream = (t2 - t1) * 1000.0
+        self.aggregate.add((t2 - t0) * 1000.0)
         self._frames += 1
         return out
 
