@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import dct, huffdec2, sample
+from ..ops import dct, huffdec, huffdec2, sample
 from ..stream import reader, segments as segprep
 from ..types import (ColorSpace, CorruptStreamError, ImageInfo,
                      ImageParameters, PixelFormat)
@@ -187,7 +187,7 @@ class Decoder:
         dc_ids = sorted(set(comp_dc.tolist()))
         ac_ids = sorted(set(comp_ac.tolist()))
         if len(dc_ids) > 2 or len(ac_ids) > 2:
-            raise CorruptStreamError("more than 2 Huffman table sets")
+            return None  # legacy LUT path handles >2 table sets
 
         def spec(tabs, ids, i):
             tid = ids[min(i, len(ids) - 1)]
@@ -289,6 +289,8 @@ class Decoder:
         words_np, nbits = segprep.pack_segments_matrix(ps.data, ranges,
                                                        max_words)
         plan = self._plan_for(geo, ps)
+        if plan is None:
+            return self._decode_legacy(ps, geo, words_np, nbits)
         bps = plan.bps
 
         words = jnp.asarray(words_np)
@@ -339,6 +341,52 @@ class Decoder:
             import logging
             logging.getLogger("gpujpeg_tpu").warning(
                 "corrupt segment(s) during Huffman decode")
+        return np.asarray(out)
+
+    def _decode_legacy(self, ps, geo, words, nbits):
+        """LUT-based lane-per-segment decode (ops.huffdec): slower, but
+        handles arbitrary table-set layouts (up to 4 Huffman tables, like
+        the reference's CPU fallback, gpujpeg_decoder.c:254-272)."""
+        nseg = geo.segment_count
+        comp_dc = np.zeros(geo.comp_count, np.int32)
+        comp_ac = np.zeros(geo.comp_count, np.int32)
+        for scan in ps.scans:
+            for ci, d, a in zip(scan.comp_indices, scan.dc_table,
+                                scan.ac_table):
+                comp_dc[ci], comp_ac[ci] = d, a
+        dc_ids = sorted(ps.huff_dc)
+        ac_ids = sorted(ps.huff_ac)
+        lut = np.stack(
+            [tables.huffman_decode_lut16(*ps.huff_dc[i]) for i in dc_ids]
+            + [tables.huffman_decode_lut16(*ps.huff_ac[i]) for i in ac_ids])
+        dc_slot = {i: k for k, i in enumerate(dc_ids)}
+        ac_slot = {i: len(dc_ids) + k for k, i in enumerate(ac_ids)}
+
+        rows = geo.seg_rows
+        valid = rows >= 0
+        comp_of_block = np.where(valid,
+                                 geo.stream_comp[np.maximum(rows, 0)], 0)
+        dc_tab = np.vectorize(lambda c: dc_slot[int(comp_dc[c])])(
+            comp_of_block).astype(np.int32)
+        ac_tab = np.vectorize(lambda c: ac_slot[int(comp_ac[c])])(
+            comp_of_block).astype(np.int32)
+        blocks_per_seg = valid.sum(axis=1).astype(np.int32)
+        max_bps = geo.max_blocks_per_seg
+        coefs_flat, err = huffdec.decode_segments(
+            jnp.asarray(words), jnp.asarray(nbits),
+            jnp.asarray(blocks_per_seg),
+            jnp.asarray(dc_tab), jnp.asarray(ac_tab),
+            jnp.asarray(comp_of_block.astype(np.int32)),
+            jnp.asarray(lut),
+            max_bps=max_bps, max_iters=max_bps * 65 + 2)
+        coefs = coefs_flat.reshape(nseg, max_bps, 64)
+        qtabs = np.stack([
+            ps.quant_tables[ps.quant_map[c.index]]
+            for c in geo.components
+        ]).astype(np.float32)
+        out = _make_idct_post_fn(geo)(coefs, jnp.asarray(qtabs))
+        out = self._apply_output_options(out)
+        jax.block_until_ready(out)
         return np.asarray(out)
 
     def _apply_output_options(self, out):
