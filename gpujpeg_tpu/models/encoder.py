@@ -264,6 +264,22 @@ def grown_caps(geo: Geometry, caps: Caps, need_pack: np.ndarray,
     return Caps(pack=pack, z_cap=z_cap)
 
 
+def _use_pallas_pack(T: int) -> bool:
+    """Fused Pallas packer: TPU backend only, trees up to 512 tokens
+    (verified correct on hardware; deeper trees hit a Mosaic miscompile,
+    tracked in ops/pallas_pack.py)."""
+    import os
+
+    if os.environ.get("GPUJPEG_TPU_NO_PALLAS"):
+        return False
+    if (1 << max(1, (T - 1).bit_length())) > 512:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
     """The complete device-side encode as ONE jittable program.
 
@@ -279,10 +295,22 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
     scan_first = geo.scan_seg_bounds[:-1].astype(np.int32)
     scan_last = (geo.scan_seg_bounds[1:] - 1).astype(np.int32)
 
+    T = token_slots(geo)
+    use_pallas = _use_pallas_pack(T)
+    if use_pallas:
+        from ..ops import pallas_pack
+
+        pallas_fn = pallas_pack.make_pack_kernel(
+            geo.segment_count, T, caps.pack)
+
     def fn(raw):
         bits, lens = tokens_impl(raw)
-        words, row_bits, need1 = bitmerge.pack_rows_merge(
-            bits, lens, caps=caps.pack)
+        if use_pallas:
+            words, row_bits = pallas_fn(bits, lens)
+            need1 = bitmerge.level_needs(lens, len(caps.pack))
+        else:
+            words, row_bits, need1 = bitmerge.pack_rows_merge(
+                bits, lens, caps=caps.pack)
         seg_bytes = (row_bits + 7) >> 3
         padded = bitmerge.or_pad_bits(words, row_bits)
         rows, out_bytes, max_z = bitmerge.stuff_rows_roll(

@@ -208,6 +208,21 @@ def pack_rows_merge(bits: jnp.ndarray, lens: jnp.ndarray,
     return words, row_bits, jnp.stack(needs)
 
 
+def level_needs(lens: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """Per-level max merged-buffer bits, directly from token lengths:
+    level L's buffers are consecutive groups of 2^L tokens, so the need is
+    max over groups of the group sum (identical for any pairing order —
+    used by the fused Pallas packer, which doesn't track needs itself)."""
+    R, T = lens.shape
+    T2 = 1 << max(1, (T - 1).bit_length())
+    s = jnp.pad(lens, ((0, 0), (0, T2 - T))).astype(jnp.int32)
+    needs = []
+    for _ in range(levels):
+        s = s.reshape(R, s.shape[1] // 2, 2).sum(axis=2)
+        needs.append(jnp.max(s).astype(jnp.int32))
+    return jnp.stack(needs)
+
+
 def or_pad_bits(words: jnp.ndarray, row_bits: jnp.ndarray) -> jnp.ndarray:
     """OR 1-bits from each row's true end to its next byte boundary
     (F.1.2.3 pad), without a scatter: build the per-row pad pattern from an

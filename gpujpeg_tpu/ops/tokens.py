@@ -47,28 +47,30 @@ def tokenize_rows(coefs: jnp.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray,
     Returns (bits, lens): (S, B*64) uint32 / int32.
     """
     S, B, _ = coefs.shape
-    v = coefs.astype(jnp.int32)
+    v = coefs.astype(jnp.int16)
 
     dc = v[:, :, 0]
     pred = jnp.pad(dc, ((0, 0), (1, 0)))[:, :-1]
     v = jnp.concatenate([(dc - pred)[:, :, None], v[:, :, 1:]], axis=2)
 
     av = jnp.abs(v)
-    size = 32 - jax.lax.clz(av)                     # 0 for v == 0
-    vb = (jnp.where(v < 0, v - 1, v)
-          & ((1 << jnp.minimum(size, 31)) - 1)).astype(jnp.uint32)
+    # bit category (<= 12); int16 clz
+    size = (16 - jax.lax.clz(av)).astype(jnp.int16)   # 0 for v == 0
+    vb16 = (jnp.where(v < 0, v - 1, v).astype(jnp.uint16)
+            & ((jnp.uint16(1) << jnp.clip(size, 0, 15).astype(jnp.uint16))
+               - 1))
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (S, B, 64), 2)
+    idx = jax.lax.broadcasted_iota(jnp.int16, (S, B, 64), 2)
     nz = v != 0
-    marker = jnp.where(nz | (idx == 0), idx, -1)
+    marker = jnp.where(nz | (idx == 0), idx, jnp.int16(-1))
     last_incl = jax.lax.cummax(marker, axis=2)
     last_before = jnp.concatenate(
-        [jnp.zeros((S, B, 1), jnp.int32), last_incl[:, :, :-1]], axis=2)
-    run = idx - last_before - 1
+        [jnp.zeros((S, B, 1), jnp.int16), last_incl[:, :, :-1]], axis=2)
+    run = (idx - last_before - 1).astype(jnp.int16)
     suffix = jnp.flip(jax.lax.cummax(
-        jnp.flip(nz.astype(jnp.int32), 2), axis=2), 2)
+        jnp.flip(nz.astype(jnp.int8), 2), axis=2), 2)
     has_after = jnp.concatenate(
-        [suffix[:, :, 1:], jnp.zeros((S, B, 1), jnp.int32)], axis=2) > 0
+        [suffix[:, :, 1:], jnp.zeros((S, B, 1), jnp.int8)], axis=2) > 0
 
     is_dc = idx == 0
     is_code = nz & ~is_dc
@@ -76,8 +78,9 @@ def tokenize_rows(coefs: jnp.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray,
     is_zrl = (~nz) & ~is_dc & has_after & (zero_run_incl % 16 == 0)
     is_eob = (~nz) & (idx == 63)
 
-    run16 = jnp.where(is_code, run & 15, jnp.where(is_zrl, 15, 0))
-    size16 = jnp.where(is_code, size, 0)
+    run16 = jnp.where(is_code, run & 15,
+                      jnp.where(is_zrl, jnp.int16(15), jnp.int16(0)))
+    size16 = jnp.where(is_code, size, jnp.int16(0))
 
     # AC entry via 16 free 16-entry gathers + select chain over the run
     ac_rows = np.asarray(ac_lut, np.uint32)
@@ -86,18 +89,20 @@ def tokenize_rows(coefs: jnp.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray,
         cand = jnp.asarray(ac_rows[r])[size16]
         entry = jnp.where(run16 == r, cand, entry)
     dc_entry = jnp.asarray(np.asarray(dc_lut, np.uint32))[
-        jnp.minimum(size[:, :, 0], 11)]
+        jnp.minimum(size[:, :, 0], 11).astype(jnp.int16)]
     entry = jnp.concatenate([dc_entry[:, :, None], entry[:, :, 1:]], axis=2)
 
-    clen = (entry >> 16).astype(jnp.int32)
+    clen = (entry >> 16).astype(jnp.int16)
     code = (entry & 0xFFFF).astype(jnp.uint32)
-    bits = (code << jnp.minimum(size, 31).astype(jnp.uint32)) | vb
-    lens = clen + size
+    size32 = jnp.clip(size, 0, 15).astype(jnp.uint32)
+    bits = (code << size32) | vb16.astype(jnp.uint32)
+    lens = (clen + size).astype(jnp.int16)
     emit = is_dc | is_code | is_zrl | is_eob
-    lens = jnp.where(emit, lens, 0)
+    lens = jnp.where(emit, lens, jnp.int16(0))
     if valid is not None:
-        lens = lens * jnp.asarray(valid.astype(np.int32))[:, :, None]
-    return bits.reshape(S, B * 64), lens.reshape(S, B * 64)
+        lens = lens * jnp.asarray(valid.astype(np.int16))[:, :, None]
+    return (bits.reshape(S, B * 64),
+            lens.reshape(S, B * 64).astype(jnp.int32))
 
 
 def make_huffman_luts(huff_enc_dc: np.ndarray, huff_enc_ac: np.ndarray):
