@@ -265,12 +265,14 @@ def grown_caps(geo: Geometry, caps: Caps, need_pack: np.ndarray,
 
 
 def _use_pallas_pack(T: int) -> bool:
-    """Fused Pallas packer: TPU backend only, trees up to 512 tokens
-    (verified correct on hardware; deeper trees hit a Mosaic miscompile,
-    tracked in ops/pallas_pack.py)."""
+    """Fused Pallas packer (ops/pallas_pack): OPT-IN via
+    GPUJPEG_TPU_PALLAS=1.  Byte-identical to the XLA tree on hardware for
+    trees up to 512 tokens, but Mosaic's generated code currently runs the
+    tree ~2.3x slower than XLA's fusions (58 vs 25 ms for the 8K pack), so
+    the XLA path stays the default until the kernel is scheduled better."""
     import os
 
-    if os.environ.get("GPUJPEG_TPU_NO_PALLAS"):
+    if os.environ.get("GPUJPEG_TPU_PALLAS") != "1":
         return False
     if (1 << max(1, (T - 1).bit_length())) > 512:
         return False
