@@ -64,7 +64,9 @@ def _make_idct_post_fn(geo: Geometry):
             for c in geo.components:
                 S = c.segment_count
                 rst = c.segment_mcu_count
-                comp_rows = coefs[base:base + S].reshape(S * rst, 64)
+                # rows carry max_blocks_per_seg slots; this component's
+                # real blocks are the first rst of each row
+                comp_rows = coefs[base:base + S, :rst].reshape(S * rst, 64)
                 comp_blocks = comp_rows[: c.mcu_count]
                 plane = dct.dequantize_idct_traced(
                     comp_blocks, qtabs[c.index], c.data_height, c.data_width)
@@ -221,26 +223,46 @@ class Decoder:
             dc_luma_row = np.ones(geo.segment_count, bool)
             ac_luma_row = np.ones(geo.segment_count, bool)
 
-        key = (geo, tuple(map(tuple, (s[0].tolist() for s in dc_specs))),
-               tuple(map(tuple, (s[0].tolist() for s in ac_specs))))
+        # the cache key must cover the FULL table contents (maxcode16,
+        # valoff, huffval16) and the per-stream component->table assignment:
+        # libjpeg optimized-Huffman streams routinely share a code-length
+        # histogram while differing in symbol values, and two streams can
+        # assign identical tables to different components
+        def spec_key(specs):
+            return tuple(tuple(np.asarray(a).reshape(-1).tolist())
+                         for s in specs for a in s)
+
+        key = (geo, spec_key(dc_specs), spec_key(ac_specs),
+               dc_luma_row.tobytes(), ac_luma_row.tobytes(),
+               comp_pattern.tobytes(),
+               None if patterns is None else
+               (patterns[0].tobytes(), patterns[1].tobytes(), patterns[2]))
         plan = self._plans.get(key)
         if plan is None:
             plan = _StreamPlan(geo, dc_specs, ac_specs, dc_luma_row,
                                ac_luma_row, patterns)
             plan.comp_pattern = comp_pattern
-            # per-block static info for phase C
+            # per-block static info for phase C.  Each segment row carries
+            # bps = max_blocks_per_seg slots; components whose
+            # segment_mcu_count is smaller (non-interleaved subsampled
+            # streams with restart_interval=0 have per-scan MCU counts)
+            # pad their rows with invalid slots.
             if not geo.interleaved:
+                bps = geo.max_blocks_per_seg
                 dcb, acb, vb = [], [], []
                 for c in geo.components:
                     S, rst = c.segment_count, c.segment_mcu_count
-                    n = S * rst
-                    dcb += [comp_dc_luma[c.index]] * n
-                    acb += [comp_ac_luma[c.index]] * n
-                    vm = np.arange(n) < c.mcu_count
+                    dcb.append(np.full((S, bps), comp_dc_luma[c.index],
+                                       bool))
+                    acb.append(np.full((S, bps), comp_ac_luma[c.index],
+                                       bool))
+                    vm = np.zeros((S, bps), bool)
+                    vm[:, :rst] = (np.arange(S * rst).reshape(S, rst)
+                                   < c.mcu_count)
                     vb.append(vm)
-                plan.blk_dc_luma = np.asarray(dcb, bool)
-                plan.blk_ac_luma = np.asarray(acb, bool)
-                plan.blk_valid = np.concatenate(vb)
+                plan.blk_dc_luma = np.concatenate(dcb).reshape(-1)
+                plan.blk_ac_luma = np.concatenate(acb).reshape(-1)
+                plan.blk_valid = np.concatenate(vb).reshape(-1)
             else:
                 S, rst = geo.segment_count, geo.segment_mcu_count
                 bpm = geo.blocks_per_mcu

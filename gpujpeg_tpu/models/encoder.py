@@ -50,8 +50,9 @@ def adjust_params(param: Parameters, pi: ImageParameters) -> Parameters:
         sf = param.sampling_factor[: param.comp_count]
         subsampled = any(s.horizontal != sf[0].horizontal
                          or s.vertical != sf[0].vertical for s in sf)
+        bpm = sum(s.horizontal * s.vertical for s in sf)
         param = param.with_(restart_interval=suggest_restart_interval(
-            pi, param.comp_count, subsampled, param.interleaved))
+            pi, param.comp_count, subsampled, param.interleaved, bpm))
     if param.comp_count == 1:
         # grayscale always luminance; internal color space irrelevant
         param = param.with_(interleaved=False)
@@ -239,6 +240,66 @@ class Caps:
     def row_words(self) -> int:
         return self.pack[-1]
 
+    @property
+    def n_needs(self) -> int:
+        return len(self.pack) + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class FusedCaps:
+    """Sticky capacities for the fused Pallas entropy kernel
+    (ops/fusedpack): l0 = density knob (32/2^l0 bits-per-token ceiling
+    for every 2^l-token group), z_cap = stuffed zeros per row, w_out =
+    output words per row including stuffing slack."""
+
+    l0: int
+    z_cap: int
+    w_out: int
+    n_levels: int   # l0 + D: total merge levels for this geometry's T
+
+    @property
+    def n_needs(self) -> int:
+        return self.n_levels + 2
+
+
+def initial_fused_caps(geo: Geometry,
+                       bits_per_token: float = 6.0) -> FusedCaps:
+    from ..ops import fusedpack
+
+    T = token_slots(geo)
+    T2 = fusedpack.pow2_ge(T)
+    levels = T2.bit_length() - 1
+    l0 = 1 if geo.param.quality <= 95 else 0
+    l0 = min(l0, levels)
+    z_cap = 16
+    w_est = -(-int(T * max(bits_per_token + 3.0, 9.0)) // 32)
+    w_out = min(T2 >> l0, w_est) + (z_cap + 2 + 3) // 4 + 1
+    return FusedCaps(l0=l0, z_cap=z_cap, w_out=w_out, n_levels=levels)
+
+
+def grown_fused_caps(geo: Geometry, caps: FusedCaps,
+                     needs: np.ndarray) -> FusedCaps:
+    """Shrink l0 / grow z_cap, w_out so the realized needs fit."""
+    from ..ops import fusedpack
+
+    T2 = fusedpack.pow2_ge(token_slots(geo))
+    levels = caps.n_levels
+    l0 = caps.l0
+    for lvl in range(1, levels + 1):
+        g = int(needs[lvl - 1])          # max merged bits of 2^lvl tokens
+        if g <= 32:
+            continue
+        # need 32*2^(lvl-l0') >= g  =>  l0' <= lvl - ceil(log2(g/32))
+        import math
+        l0 = min(l0, lvl - math.ceil(math.log2(g / 32.0)))
+    l0 = max(0, l0)
+    z_cap = max(caps.z_cap, int(needs[-2]) + 4)
+    w_need = -(-int(needs[-1]) // 4) + 2
+    w_out = max(caps.w_out, min(int(w_need * 1.15),
+                                (T2 >> l0) + (z_cap + 2 + 3) // 4 + 1))
+    w_out = max(w_out, w_need)
+    return FusedCaps(l0=l0, z_cap=z_cap, w_out=w_out, n_levels=levels)
+
 
 def initial_caps(geo: Geometry, bits_per_token: float = 6.0) -> Caps:
     """Content-independent initial guess (~Q75 photographic density);
@@ -264,22 +325,24 @@ def grown_caps(geo: Geometry, caps: Caps, need_pack: np.ndarray,
     return Caps(pack=pack, z_cap=z_cap)
 
 
-def _use_pallas_pack(T: int) -> bool:
-    """Fused Pallas packer (ops/pallas_pack): OPT-IN via
-    GPUJPEG_TPU_PALLAS=1.  Byte-identical to the XLA tree on hardware for
-    trees up to 512 tokens, but Mosaic's generated code currently runs the
-    tree ~2.3x slower than XLA's fusions (58 vs 25 ms for the 8K pack), so
-    the XLA path stays the default until the kernel is scheduled better."""
+def fused_mode() -> str:
+    """Fused Pallas entropy kernel (ops/fusedpack) mode:
+    'on' (default on TPU), 'off' (XLA merge tree; default on CPU), or
+    'interpret' (Pallas interpreter — tests only; very slow).
+    Override with GPUJPEG_TPU_FUSED=0/1/interpret."""
     import os
 
-    if os.environ.get("GPUJPEG_TPU_PALLAS") != "1":
-        return False
-    if (1 << max(1, (T - 1).bit_length())) > 512:
-        return False
+    v = os.environ.get("GPUJPEG_TPU_FUSED", "")
+    if v == "0":
+        return "off"
+    if v == "interpret":
+        return "interpret"
+    if v == "1":
+        return "on"
     try:
-        return jax.default_backend() not in ("cpu",)
+        return "on" if jax.default_backend() not in ("cpu",) else "off"
     except Exception:
-        return False
+        return "off"
 
 
 def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
@@ -297,36 +360,35 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
     scan_first = geo.scan_seg_bounds[:-1].astype(np.int32)
     scan_last = (geo.scan_seg_bounds[1:] - 1).astype(np.int32)
 
-    T = token_slots(geo)
-    use_pallas = _use_pallas_pack(T)
-    if use_pallas:
-        from ..ops import pallas_pack
+    fused = isinstance(caps, FusedCaps)
+    if fused:
+        from ..ops import fusedpack
 
-        pallas_fn = pallas_pack.make_pack_kernel(
-            geo.segment_count, T, caps.pack)
+        interp = fused_mode() == "interpret"
 
     def fn(raw):
         bits, lens = tokens_impl(raw)
-        if use_pallas:
-            words, row_bits = pallas_fn(bits, lens)
-            need1 = bitmerge.level_needs(lens, len(caps.pack))
+        if fused:
+            rows, out_bytes, needs = fusedpack.pack_stuff_fused(
+                bits, lens, geo.rst_marker, l0=caps.l0, z_cap=caps.z_cap,
+                w_out=caps.w_out, interpret=interp)
         else:
             words, row_bits, need1 = bitmerge.pack_rows_merge(
                 bits, lens, caps=caps.pack)
-        seg_bytes = (row_bits + 7) >> 3
-        padded = bitmerge.or_pad_bits(words, row_bits)
-        rows, out_bytes, max_z = bitmerge.stuff_rows_roll(
-            padded, seg_bytes, geo.rst_marker, z_cap=caps.z_cap)
+            seg_bytes = (row_bits + 7) >> 3
+            padded = bitmerge.or_pad_bits(words, row_bits)
+            rows, out_bytes, max_z = bitmerge.stuff_rows_roll(
+                padded, seg_bytes, geo.rst_marker, z_cap=caps.z_cap)
+            needs = jnp.concatenate([need1, max_z[None]])
         cs = jnp.cumsum(out_bytes)
         scan_start = (cs - out_bytes)[jnp.asarray(scan_first)]
         scan_end = cs[jnp.asarray(scan_last)]
         meta = jnp.concatenate([
-            need1, max_z[None], scan_start, scan_end, cs[-1:],
+            needs, scan_start, scan_end, cs[-1:],
         ]).astype(jnp.int32)
         return {"rows": rows, "row_bytes": out_bytes, "meta": meta}
 
-    fn._n1 = len(caps.pack)
-    fn._n2 = 1
+    fn._n_needs = caps.n_needs
     return fn
 
 
@@ -404,13 +466,14 @@ class Encoder:
             return None
         return (self.flipped, self.channel_remap)
 
-    def _get_fn(self, geo: Geometry, caps: Caps):
+    def _get_fn(self, geo: Geometry, caps):
         pre = self._pre()
         key = (geo, caps, pre)
         fn = self._fns.get(key)
         if fn is None:
-            fn = jax.jit(make_full_encode_fn(geo, caps, pre))
-            fn._n1 = len(caps.pack)
+            inner = make_full_encode_fn(geo, caps, pre)
+            fn = jax.jit(inner)
+            fn._n_needs = inner._n_needs
             self._fns[key] = fn
         return fn
 
@@ -441,35 +504,46 @@ class Encoder:
         geo = self.resolve(image, param, param_image)
         caps = self._caps.get(geo)
         if caps is None:
-            caps = initial_caps(geo)
+            caps = (initial_fused_caps(geo) if fused_mode() != "off"
+                    else initial_caps(geo))
             self._caps[geo] = caps
         x = jnp.asarray(image)
 
         if not check:
             return geo, self._get_fn(geo, caps)(x), None
 
-        for _ in range(4):
+        for _ in range(6):
             fn = self._get_fn(geo, caps)
             res = fn(x)
             # NOTE: fetching a result before it is ready takes a pathological
             # slow path on some host links — always block first.
             jax.block_until_ready(res["meta"])
             meta = np.asarray(res["meta"])
-            n1 = fn._n1
-            need1, need_z = meta[:n1], int(meta[n1])
-            ok1 = all(int(need1[i]) <= caps.pack[i] * 32 for i in range(n1))
-            if ok1 and need_z <= caps.z_cap:
-                return geo, res, meta
-            caps = grown_caps(geo, caps, need1, need_z)
+            nn = fn._n_needs
+            needs = meta[:nn]
+            if isinstance(caps, FusedCaps):
+                from ..ops import fusedpack
+
+                if fusedpack.needs_ok(needs, caps.l0, caps.z_cap,
+                                      caps.w_out):
+                    return geo, res, meta
+                caps = grown_fused_caps(geo, caps, needs)
+            else:
+                need1, need_z = needs[:-1], int(needs[-1])
+                n1 = len(caps.pack)
+                ok1 = all(int(need1[i]) <= caps.pack[i] * 32
+                          for i in range(n1))
+                if ok1 and need_z <= caps.z_cap:
+                    return geo, res, meta
+                caps = grown_caps(geo, caps, need1, need_z)
             self._caps[geo] = caps
         raise RuntimeError("encode capacity did not converge")
 
     def assemble(self, geo: Geometry, res, meta) -> bytes:
         """Host codestream assembly from device rows (headers + per-scan
         row compaction; RST markers and stuffing arrive from the device)."""
-        fn_n1 = len(self._caps[geo].pack)
         ns = geo.scan_count
-        base = fn_n1 + 1
+        base = self._caps[geo].n_needs
         scan_start = meta[base:base + ns]
         scan_end = meta[base + ns:base + 2 * ns]
 

@@ -311,8 +311,10 @@ def stuff_rows_roll(words: jnp.ndarray, row_bytes: jnp.ndarray,
     col = jax.lax.broadcasted_iota(jnp.int32, (R, n_in), 1)
     valid = col < row_bytes[:, None]
     is_ff = valid & (by == 0xFF)
-    ffx_incl = jnp.cumsum(is_ff.astype(jnp.int16), axis=1)
-    nff = ffx_incl[:, -1].astype(jnp.int32)
+    # int32 cumsum: a row with >32767 0xFF bytes (restart_interval=0 on a
+    # large frame) would wrap int16 and corrupt the overflow check itself
+    ffx_incl = jnp.cumsum(is_ff.astype(jnp.int32), axis=1)
+    nff = ffx_incl[:, -1]
     max_z = jnp.max(nff)
 
     K_out4 = n_in + ((z_cap + 2 + 3) // 4) * 4

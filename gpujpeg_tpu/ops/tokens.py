@@ -16,7 +16,7 @@ token of at most 27 bits:
 Zero-run lengths and "a nonzero follows" come from per-block prefix/suffix
 max-scans — the associative-scan equivalent of the reference's
 __ballot_sync + __clz bitmaps.  The result is a dense (blocks, 64) array of
-(bits, len) pairs consumed by ops.pack.
+(bits, len) pairs consumed by ops.bitmerge.
 """
 
 from __future__ import annotations

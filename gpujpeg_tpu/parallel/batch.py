@@ -125,7 +125,7 @@ class BatchEncoder:
     """Encode batches of equally-sized frames across a device mesh."""
 
     def __init__(self, mesh: Mesh, param: Parameters, pi: ImageParameters,
-                 caps: enc_mod.Caps = None, **_legacy):
+                 caps: enc_mod.Caps = None):
         self.mesh = mesh
         self.param = enc_mod.adjust_params(param, pi)
         self.pi = pi

@@ -49,10 +49,33 @@ def add_segment_info(data: bytes) -> bytes:
             out += data[pos:pos + 2 + length]
         pos += 2 + length
 
+    def copy_markers(lo: int, hi: int) -> bytes:
+        """Copy marker segments in data[lo:hi] (e.g. a DHT or DRI between
+        scans of a non-interleaved stream), stripping old APP13
+        segment-info markers; tables before a later SOS are load-bearing."""
+        res = bytearray()
+        p = lo
+        while p < hi - 1:
+            if data[p] != 0xFF:
+                break  # stray bytes; drop them
+            m = data[p + 1]
+            if m in (markers.SOI, markers.EOI) or markers.is_rst(m):
+                res += data[p:p + 2]
+                p += 2
+                continue
+            ln = int.from_bytes(data[p + 2:p + 4], "big")
+            if m != markers.SEGMENT_INFO:
+                res += data[p:p + 2 + ln]
+            p += 2 + ln
+        return bytes(res)
+
     # emit each scan with a fresh segment-info index
+    prev_end = None
     for scan_index, scan in enumerate(ps.scans):
         # scan header: from the SOS marker to the start of entropy data
         sos_pos = scan.sos_pos
+        if prev_end is not None and sos_pos > prev_end:
+            out += copy_markers(prev_end, sos_pos)
         # rebuild offsets relative to entropy start; segment ranges exclude
         # RST markers, so re-derive the on-wire extents
         segs = scan.segments
@@ -65,6 +88,7 @@ def add_segment_info(data: bytes) -> bytes:
             scan_index, np.asarray(offsets, dtype=np.int64))
         out += bytes(data[sos_pos:ent_start])
         out += bytes(data[ent_start:scan_end])
+        prev_end = scan_end
     out += bytes((0xFF, markers.EOI))
     return bytes(out)
 

@@ -2,7 +2,7 @@
 
 Unstuffs (0xFF 0x00 -> 0xFF) and packs all segments of a stream into one
 padded (nseg, words) uint32 matrix in a handful of numpy passes — the
-decode-side counterpart of stream.assemble.
+decode-side counterpart of the encoder's host assembly.
 """
 
 from __future__ import annotations

@@ -231,7 +231,7 @@ def write_header(geo: Geometry,
 
 def write_scan_header(geo: Geometry, scan_index: int) -> bytes:
     """SOS for one scan (gpujpeg_writer.c:548-658), without segment-info
-    headers (those are produced by stream.assemble which knows offsets)."""
+    headers (those are back-patched during host assembly, which knows offsets)."""
     param = geo.param
     w = Writer()
     w.marker(markers.SOS)

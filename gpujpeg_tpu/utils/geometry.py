@@ -305,6 +305,7 @@ def get_geometry(param: Parameters, param_image: ImageParameters) -> Geometry:
 def suggest_restart_interval(
     param_image: ImageParameters, comp_count: int,
     subsampled: bool, interleaved: bool,
+    blocks_per_mcu: int = 0,
 ) -> int:
     """TPU-tuned auto restart interval.
 
@@ -318,10 +319,10 @@ def suggest_restart_interval(
     """
     if not interleaved:
         return 8                        # blocks (== MCUs) per segment
-    bpm = 0
-    # blocks per interleaved MCU unknown here without sampling factors of
-    # every component; approximate from subsampling
-    bpm = 6 if subsampled else comp_count
+    # target ~8 blocks per segment; blocks per interleaved MCU comes from
+    # the caller's sampling factors (6 for 4:2:0, 4 for 4:2:2, comp_count
+    # for 4:4:4) with a subsampling-derived fallback
+    bpm = blocks_per_mcu or (6 if subsampled else comp_count)
     return max(1, 8 // max(bpm, 1))
 
 

@@ -35,8 +35,7 @@ def test_batch_encode_frames_and_segments(mesh8, rng):
     pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
                          pixel_format=PixelFormat.P444_U8_P012)
     frames = np.stack([smooth_image(rng, H, W, 3) for _ in range(4)])
-    be = pbatch.BatchEncoder(mesh8, param, pi, cap_tokens=1 << 15,
-                             cap_words=1 << 12)
+    be = pbatch.BatchEncoder(mesh8, param, pi)
     streams = be.encode_batch(frames)
     assert len(streams) == 4
     for i, s in enumerate(streams):
@@ -56,8 +55,7 @@ def test_sharded_equals_single_device(mesh8, rng):
     pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
                          pixel_format=PixelFormat.P444_U8_P012)
     img = smooth_image(rng, H, W, 3)
-    be = pbatch.BatchEncoder(mesh, param, pi, cap_tokens=1 << 15,
-                             cap_words=1 << 12)
+    be = pbatch.BatchEncoder(mesh, param, pi)
     sharded = be.encode_batch(img[None])[0]
     single = Encoder().encode(img, param, pi)
     assert sharded == single
