@@ -196,26 +196,18 @@ def run_encode(args, enc, in_path: str, out_path: str) -> None:
           f"({len(out)} bytes)", file=sys.stderr)
 
 
-def _planar_for_stream(info) -> PixelFormat:
-    """Planar pixel format matching the stream's subsampling (the
-    reference's NATIVE pseudo-format, gpujpeg_decoder.h:233-246)."""
-    if info.comp_count == 1:
-        return PixelFormat.U8
-    return {
-        PixelFormat.P420_U8_P0P1P2: PixelFormat.P420_U8_P0P1P2,
-        PixelFormat.P422_U8_P0P1P2: PixelFormat.P422_U8_P0P1P2,
-    }.get(info.pixel_format, PixelFormat.P444_U8_P0P1P2)
-
-
 def run_decode(args, dec, in_path: str, out_path: str) -> None:
+    from .types import PixelFormatRequest
+
     with open(in_path, "rb") as f:
         data = f.read()
     out_pi = _image_params_for(out_path, args, exists=False)
     out_fmt = formats.get_file_format(out_path)
     if (out_fmt == formats.FileFormat.Y4M
             and out_pi.pixel_format == PixelFormat.NONE):
-        out_pi = out_pi.with_(
-            pixel_format=_planar_for_stream(dec.get_image_info(data)))
+        # Y4M stores planar 444/422/420: request the STD pseudo-format and
+        # let the decoder resolve it (gpujpeg_decoder.h:238-240)
+        out_pi = out_pi.with_(pixel_format=PixelFormatRequest.STD)
 
     arr = None
     for it in range(max(args.iterate, 1)):
@@ -227,9 +219,15 @@ def run_decode(args, dec, in_path: str, out_path: str) -> None:
         dt = (time.perf_counter() - t0) * 1000
         if args.verbose or args.iterate > 1:
             print(f"decode {in_path}: {dt:.2f} ms", file=sys.stderr)
-    info = dec.get_image_info(data)
-    pi = out_pi.with_(width=info.width, height=info.height)
-    if pi.pixel_format == PixelFormat.NONE:
+            if args.verbose:
+                dec.stats.print()
+    if args.verbose and args.iterate > 1:
+        print(dec.stats.summary(), file=sys.stderr)
+    # the decoder records the resolved output parameters (pseudo formats
+    # like STD/NATIVE resolve against the stream)
+    pi = getattr(dec, "last_output", out_pi)
+    if pi.pixel_format == PixelFormat.NONE or \
+            isinstance(pi.pixel_format, PixelFormatRequest):
         pi = pi.with_(pixel_format=(PixelFormat.U8 if arr.ndim == 2 else
                                     PixelFormat.P444_U8_P012
                                     if arr.ndim == 3 and arr.shape[2] == 3

@@ -48,6 +48,94 @@ def default_output(ps: reader.ParsedStream) -> ImageParameters:
                            color_space=cs, pixel_format=pf)
 
 
+def _native_pixel_format(ps: reader.ParsedStream) -> PixelFormat:
+    """Pixel format nearest the stream's internal subsampling
+    (get_native_pixel_format, gpujpeg_reader.c:1507-1552)."""
+    import math
+
+    if ps.comp_count == 4:
+        return PixelFormat.P4444_U8_P0123
+    samp = list(ps.sampling[:3])
+    hg = functools.reduce(math.gcd, (h for h, _ in samp))
+    vg = functools.reduce(math.gcd, (v for _, v in samp))
+    samp = [(h // hg, v // vg) for h, v in samp]
+    if samp[1] == (1, 1) and samp[2] == (1, 1):
+        key = (ps.interleaved, samp[0][0], samp[0][1])
+        table = {
+            (True, 1, 1): PixelFormat.P444_U8_P012,
+            (False, 1, 1): PixelFormat.P444_U8_P0P1P2,
+            (True, 2, 1): PixelFormat.P422_U8_P1020,
+            (False, 2, 1): PixelFormat.P422_U8_P0P1P2,
+            (True, 2, 2): PixelFormat.P420_U8_P0P1P2,
+            (False, 2, 2): PixelFormat.P420_U8_P0P1P2,
+        }
+        if key in table:
+            return table[key]
+    return (PixelFormat.P444_U8_P012 if ps.interleaved
+            else PixelFormat.P444_U8_P0P1P2)
+
+
+def resolve_output(ps: reader.ParsedStream,
+                   param_image: Optional[ImageParameters],
+                   alignment_bytes: int = 0) -> ImageParameters:
+    """Resolve the requested output ImageParameters against the stream:
+    pseudo pixel formats AUTODETECT / NO_ALPHA / STD / NATIVE
+    (gpujpeg_decoder.h:233-246), CS_DEFAULT / NONE color-space rules and
+    row-alignment padding (adjust_params, gpujpeg_reader.c:1555-1616)."""
+    from ..types import PixelFormatRequest, pixel_format_unit_size
+
+    req_pf = param_image.pixel_format if param_image else \
+        PixelFormatRequest.AUTODETECT
+    req_cs = param_image.color_space if param_image else ColorSpace.NONE
+
+    unresolved = isinstance(req_pf, PixelFormatRequest) or \
+        req_pf == PixelFormat.NONE
+
+    # color space: NONE = CS_DEFAULT (grayscale stays luma, else RGB)
+    if req_cs == ColorSpace.NONE:
+        from ..types import YCBCR_JPEG
+
+        cs = YCBCR_JPEG if ps.comp_count == 1 else ColorSpace.RGB
+    else:
+        cs = req_cs
+
+    # pixel format placeholders
+    if unresolved:
+        if req_pf == PixelFormat.NONE:
+            req_pf = PixelFormatRequest.AUTODETECT
+        if ps.comp_count == 1:
+            pf = PixelFormat.U8
+        elif req_pf == PixelFormatRequest.NATIVE:
+            pf = _native_pixel_format(ps)
+        elif req_pf == PixelFormatRequest.STD and cs != ColorSpace.RGB:
+            samp = tuple(ps.sampling[:3])
+            if samp == ((2, 2), (1, 1), (1, 1)):
+                pf = PixelFormat.P420_U8_P0P1P2
+            elif samp == ((2, 1), (1, 1), (1, 1)):
+                pf = PixelFormat.P422_U8_P0P1P2
+            else:
+                pf = PixelFormat.P444_U8_P0P1P2
+        elif ps.comp_count == 4 and req_pf != PixelFormatRequest.NO_ALPHA:
+            pf = PixelFormat.P4444_U8_P0123
+        else:
+            pf = PixelFormat.P444_U8_P012
+    else:
+        pf = req_pf
+
+    # width_padding is BYTES appended per row (gpujpeg_reader.c:1610-1615)
+    width_padding = param_image.width_padding if param_image else 0
+    if alignment_bytes:
+        unit = pixel_format_unit_size(pf)
+        if unit:  # row alignment applies to packed formats only
+            linesize = unit * ps.width
+            aligned = -(-linesize // alignment_bytes) * alignment_bytes
+            width_padding = aligned - linesize
+
+    return ImageParameters(width=ps.width, height=ps.height,
+                           color_space=cs, pixel_format=pf,
+                           width_padding=width_padding)
+
+
 @functools.lru_cache(maxsize=16)
 def _make_idct_post_fn(geo: Geometry):
     """jit: (coefs (nseg, bps, 64) storage-row layout, qtabs) -> image.
@@ -137,6 +225,51 @@ class _StreamPlan:
         return fn
 
 
+class DecoderStats:
+    """Per-phase decode timings — the decoder-side counterpart of the
+    encoder's DurationStats (gpujpeg_duration_stats,
+    gpujpeg_common.h:365-375; printed by coder_process_stats,
+    gpujpeg_common.c:2169-2254).  The device phases are fused jit
+    programs, so they collapse into duration_in_gpu; the CPU stream parse
+    and the device->host copy are reported separately."""
+
+    def __init__(self) -> None:
+        self.duration_stream = 0.0      # host marker parse + segment split
+        self.duration_in_gpu = 0.0      # Huffman decode + IDCT + postprocess
+        self.duration_memory_from = 0.0  # device -> host fetch
+        self.frames = 0
+        self.total_ms = 0.0
+        self.total_ms_wo_first = 0.0
+
+    def add_frame(self, total: float) -> None:
+        self.frames += 1
+        self.total_ms += total
+        if self.frames > 1:
+            self.total_ms_wo_first += total
+
+    def print(self, file=None) -> None:
+        import sys
+
+        f = file or sys.stderr
+        print(f" -Stream Reader:      {self.duration_stream:9.2f} ms",
+              file=f)
+        print(f" -Device pipeline:    {self.duration_in_gpu:9.2f} ms",
+              file=f)
+        if self.duration_memory_from:
+            print(f" -Copy From Device:   "
+                  f"{self.duration_memory_from:9.2f} ms", file=f)
+
+    def summary(self) -> str:
+        if not self.frames:
+            return "no frames"
+        s = (f"avg {self.total_ms / self.frames:.2f} ms / frame "
+             f"({self.frames} frames)")
+        if self.frames > 1:
+            s += (f"; {self.total_ms_wo_first / (self.frames - 1):.2f} ms"
+                  " without first")
+        return s
+
+
 class Decoder:
     """Persistent decoder session (create once, decode many streams)."""
 
@@ -146,6 +279,22 @@ class Decoder:
         self.flipped = False
         self.channel_remap = None
         self.alignment_bytes = 0
+        self._output_request: Optional[ImageParameters] = None
+        self.last_output: Optional[ImageParameters] = None
+        self.stats = DecoderStats()
+
+    def get_stats(self) -> DecoderStats:
+        """gpujpeg_decoder_get_stats (gpujpeg_common.h:365-375)."""
+        return self.stats
+
+    def set_output_format(self, color_space, pixel_format) -> None:
+        """Request the decoder's output color space / pixel format; either
+        may be a pseudo value (ColorSpace.NONE = default; pixel_format may
+        be a PixelFormatRequest) — gpujpeg_decoder_set_output_format
+        (gpujpeg_decoder.h:248-259)."""
+        self._output_request = ImageParameters(
+            width=0, height=0, color_space=color_space,
+            pixel_format=pixel_format)
 
     # -- options (gpujpeg_decoder_set_option, gpujpeg_decoder.c:485-524) ----
     def set_option(self, key: str, value: str) -> None:
@@ -284,35 +433,49 @@ class Decoder:
 
     def decode(self, data: bytes,
                param_image: Optional[ImageParameters] = None) -> np.ndarray:
+        """Decode to a host numpy array (default output resolution rules;
+        pass param_image or use set_output_format to control it)."""
+        import time
+
+        t0 = time.perf_counter()
+        out = self.decode_to_device(data, param_image)
+        jax.block_until_ready(out)
+        t1 = time.perf_counter()
+        res = np.asarray(out)
+        t2 = time.perf_counter()
+        self.stats.duration_memory_from = (t2 - t1) * 1000.0
+        self.stats.add_frame((t2 - t0) * 1000.0)
+        return res
+
+    def decode_to_device(self, data: bytes,
+                         param_image: Optional[ImageParameters] = None):
+        """Decode with the result left on device as a jax.Array — the
+        TPU analogue of decoding into a custom CUDA buffer
+        (gpujpeg_decoder.h:50-61): downstream device pipelines consume it
+        zero-copy."""
+        import time
+
+        t0 = time.perf_counter()
         ps = reader.parse(data)
         if not ps.scans:
             raise CorruptStreamError("no scan in stream")
         param = reader.parsed_to_parameters(ps)
-        defaults = default_output(ps)
-        out_pi = param_image or defaults
-        # resolve unset fields from the stream defaults (the reference's
-        # pseudo-format handling, gpujpeg_reader.c:1507-1616)
-        if out_pi.pixel_format == PixelFormat.NONE:
-            out_pi = out_pi.with_(pixel_format=defaults.pixel_format)
-        if out_pi.color_space == ColorSpace.NONE and \
-                defaults.color_space != ColorSpace.NONE:
-            out_pi = out_pi.with_(color_space=defaults.color_space)
-        out_pi = out_pi.with_(width=ps.width, height=ps.height)
-        geo = get_geometry(param, out_pi)
+        out_pi = resolve_output(ps, param_image or self._output_request,
+                                self.alignment_bytes)
+        self.last_output = out_pi      # resolved format of the last decode
+        geo = get_geometry(param, out_pi.with_(width_padding=0))
 
-        ranges = [r for scan in ps.scans for r in scan.segments]
-        if len(ranges) != geo.segment_count:
-            raise CorruptStreamError(
-                f"segment count mismatch: stream has {len(ranges)}, "
-                f"geometry expects {geo.segment_count}")
+        ranges = self._segment_ranges(ps, geo)
         nseg = geo.segment_count
         max_seg_bytes = max((en - st) for st, en in ranges)
         max_words = _bucket((max_seg_bytes + 3) // 4)
         words_np, nbits = segprep.pack_segments_matrix(ps.data, ranges,
                                                        max_words)
+        t1 = time.perf_counter()
+        self.stats.duration_stream = (t1 - t0) * 1000.0
         plan = self._plan_for(geo, ps)
         if plan is None:
-            return self._decode_legacy(ps, geo, words_np, nbits)
+            return self._decode_legacy(ps, geo, words_np, nbits, out_pi)
         bps = plan.bps
 
         words = jnp.asarray(words_np)
@@ -356,16 +519,45 @@ class Decoder:
 
         fn = _make_idct_post_fn(geo)
         out = fn(coefs, jnp.asarray(qtabs))
-        out = self._apply_output_options(out)
-        jax.block_until_ready(out)
+        out = self._apply_output_options(out, out_pi)
+        self.stats.duration_in_gpu = (time.perf_counter() - t1) * 1000.0
         err = np.asarray(errA).any() or np.asarray(errC).any()
         if err:
             import logging
             logging.getLogger("gpujpeg_tpu").warning(
                 "corrupt segment(s) during Huffman decode")
-        return np.asarray(out)
+        return out
 
-    def _decode_legacy(self, ps, geo, words, nbits):
+    @staticmethod
+    def _segment_ranges(ps, geo):
+        """Per-scan segment ranges padded/truncated to the geometry's
+        expected counts.  A recovered corrupt stream can come up short
+        (resynced segments merge, gpujpeg_reader.c:1071-1104); missing
+        segments decode as empty (zero blocks) instead of failing the
+        whole frame."""
+        import logging
+
+        expected = np.diff(geo.scan_seg_bounds)
+        if len(ps.scans) != geo.scan_count:
+            raise CorruptStreamError(
+                f"scan count mismatch: stream has {len(ps.scans)}, "
+                f"geometry expects {geo.scan_count}")
+        ranges = []
+        for k, scan in enumerate(ps.scans):
+            segs = list(scan.segments)
+            want = int(expected[k])
+            if len(segs) != want:
+                logging.getLogger("gpujpeg_tpu").warning(
+                    "scan %d: %d segments in stream, geometry expects %d "
+                    "(padding/truncating)", k, len(segs), want)
+                if len(segs) > want:
+                    segs = segs[:want]
+                else:
+                    segs += [(0, 0)] * (want - len(segs))
+            ranges += segs
+        return ranges
+
+    def _decode_legacy(self, ps, geo, words, nbits, out_pi=None):
         """LUT-based lane-per-segment decode (ops.huffdec): slower, but
         handles arbitrary table-set layouts (up to 4 Huffman tables, like
         the reference's CPU fallback, gpujpeg_decoder.c:254-272)."""
@@ -407,13 +599,12 @@ class Decoder:
             for c in geo.components
         ]).astype(np.float32)
         out = _make_idct_post_fn(geo)(coefs, jnp.asarray(qtabs))
-        out = self._apply_output_options(out)
-        jax.block_until_ready(out)
-        return np.asarray(out)
+        return self._apply_output_options(out, out_pi)
 
-    def _apply_output_options(self, out):
-        """Vertical flip / channel remap / row alignment on the decoded
-        image (reference postprocessor options)."""
+    def _apply_output_options(self, out, out_pi=None):
+        """Vertical flip / channel remap / width padding on the decoded
+        image (reference postprocessor options + width_padding,
+        gpujpeg_reader.c:1600-1615)."""
         if self.flipped and out.ndim >= 2:
             out = out[::-1]
         if self.channel_remap and out.ndim == 3:
@@ -426,14 +617,14 @@ class Decoder:
                 else:
                     chans.append(out[:, :, int(ch)])
             out = jnp.stack(chans, axis=-1)
-        if self.alignment_bytes > 1 and out.ndim == 3:
-            h, w, c = out.shape
-            stride = w * c
-            pad = (-stride) % self.alignment_bytes
-            if pad:
-                flat = out.reshape(h, stride)
-                flat = jnp.pad(flat, ((0, 0), (0, pad)))
-                out = flat  # padded rows; caller sees (H, stride+pad)
+        wp = out_pi.width_padding if out_pi else 0
+        if wp > 0 and out.ndim >= 2:
+            # pad each row by width_padding BYTES (alignment-derived or
+            # caller-requested); the result is (H, row_stride) byte rows,
+            # strided exactly like the reference's padded output
+            h = out.shape[0]
+            flat = out.reshape(h, -1)
+            out = jnp.pad(flat, ((0, 0), (0, wp)))
         return out
 
     def get_image_info(self, data: bytes) -> ImageInfo:

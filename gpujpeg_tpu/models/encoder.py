@@ -477,6 +477,74 @@ class Encoder:
             self._fns[key] = fn
         return fn
 
+    # -- pre-allocation / compile-ahead (gpujpeg_encoder_allocate,
+    # src/gpujpeg_encoder.c:258-288; planners gpujpeg_encoder.h:132-146) --
+    def allocate(self, param: Parameters,
+                 param_image: ImageParameters) -> None:
+        """Compile the full device pipeline for (param, param_image) ahead
+        of the first frame — the TPU analogue of the reference's
+        pre-allocation: instead of cudaMalloc'ing worst-case buffers it
+        traces + compiles the jit program and sizes the sticky capacities,
+        so frame 1 runs at steady-state speed (modulo one possible
+        capacity regrow on unusually dense content).  Uses a zeros frame
+        on device; the result is discarded."""
+        param = adjust_params(param or Parameters(), param_image)
+        geo = get_geometry(param, param_image)
+        caps = self._caps.get(geo)
+        if caps is None:
+            caps = (initial_fused_caps(geo) if fused_mode() != "off"
+                    else initial_caps(geo))
+            self._caps[geo] = caps
+        fn = self._get_fn(geo, caps)
+        pf, h, w = param_image.pixel_format, param_image.height, \
+            param_image.width
+        if pf == PixelFormat.U8:
+            shape = (h, w)
+        elif pf == PixelFormat.P444_U8_P012:
+            shape = (h, w, 3)
+        elif pf == PixelFormat.P4444_U8_P0123:
+            shape = (h, w, 4)
+        else:
+            from ..types import image_size_bytes
+
+            shape = (image_size_bytes(w, h, pf),)
+        res = fn(jnp.zeros(shape, jnp.uint8))
+        jax.block_until_ready(res["meta"])
+
+    @staticmethod
+    def estimate_memory(param: Parameters,
+                        param_image: ImageParameters) -> int:
+        """Approximate peak device bytes for one frame's encode pipeline
+        (raw + planes + int16 coefficients + token arrays + pack/stuff
+        buffers).  Counterpart of the reference's ~20 B/pixel/component
+        rule of thumb (FAQ.md:169-173); the token arrays make the TPU
+        pipeline hungrier: ~16 B/pixel/component."""
+        param = adjust_params(param or Parameters(), param_image)
+        npix = param_image.width * param_image.height
+        return int(npix * 16 * max(1, param.comp_count))
+
+    @staticmethod
+    def max_pixels(param: Parameters, memory_bytes: int) -> int:
+        """Largest pixel count whose encode fits in memory_bytes
+        (gpujpeg_encoder_max_pixels, gpujpeg_encoder.h:132-138)."""
+        param = adjust_params(
+            param or Parameters(),
+            ImageParameters(width=1, height=1,
+                            color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.P444_U8_P012))
+        return int(memory_bytes // (16 * max(1, param.comp_count)))
+
+    @staticmethod
+    def max_memory(param: Parameters, pixels: int) -> int:
+        """Device bytes needed to encode `pixels` pixels
+        (gpujpeg_encoder_max_memory, gpujpeg_encoder.h:140-146)."""
+        param = adjust_params(
+            param or Parameters(),
+            ImageParameters(width=1, height=1,
+                            color_space=ColorSpace.RGB,
+                            pixel_format=PixelFormat.P444_U8_P012))
+        return int(pixels * 16 * max(1, param.comp_count))
+
     def resolve(self, image, param, param_image):
         if param_image is None:
             if image.ndim < 2:

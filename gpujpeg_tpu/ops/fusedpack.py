@@ -99,6 +99,7 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
     R = x.shape[1]
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (N0, R), 0)
+    needs_vals = []
 
     # ---- deep merge levels: span doubles each level, buffers stay put ----
     for d in range(1, D + 1):
@@ -109,7 +110,7 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
         la = jnp.where(second, _roll(blen, half), blen)
         lb = jnp.where(second, blen, _roll(blen, -half))
         blen = la + lb
-        needs_ref[0, d - 1] = jnp.max(blen)
+        needs_vals.append(jnp.max(blen))
 
         b = jnp.where(second, x, jnp.uint32(0))
         # whole-word move UP first: b's words go from rel slots
@@ -168,7 +169,7 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
         s *= 2
     cum_excl = cum - word_ff
     nff = cum[W_stuff - 1:W_stuff, :]     # (1, R) total FFs per row
-    needs_ref[0, D] = jnp.max(nff)
+    needs_vals.append(jnp.max(nff))
 
     # ffx[j] = 1-based rank of the FF at byte (word s, byte j)
     run = cum_excl
@@ -212,11 +213,26 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
         out[j] = jnp.where(has & (q[j] == end + 1), rst, out[j])
         out[j] = jnp.where(q[j] >= end + mlen, jnp.uint32(0), out[j])
     out_bytes = end + mlen
-    needs_ref[0, D + 1] = jnp.max(out_bytes)
+    needs_vals.append(jnp.max(out_bytes))
 
     words = ((out[0] << 24) | (out[1] << 16) | (out[2] << 8) | out[3])
     out_ref[:, :] = words[:W_out]
     ob_ref[:, :] = out_bytes
+
+    # needs: one (8, 128)-tile accumulator block shared by every grid step
+    # (TPU grid steps run sequentially on the core) — value i in lane i
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    nv = jnp.zeros((8, 128), jnp.int32)
+    for i, v in enumerate(needs_vals):
+        nv = jnp.where(lane == i, v, nv)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        needs_ref[:, :] = nv
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        needs_ref[:, :] = jnp.maximum(needs_ref[:, :], nv)
 
 
 def make_deep_stuff_kernel(N0: int, D: int, W_out: int, z_cap: int,
@@ -257,18 +273,17 @@ def make_deep_stuff_kernel(N0: int, D: int, W_out: int, z_cap: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, R_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, D + 2), lambda i: (i, 0),
+                pl.BlockSpec((8, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((W_out, Rp), jnp.uint32),
                 jax.ShapeDtypeStruct((1, Rp), jnp.int32),
-                jax.ShapeDtypeStruct((G, D + 2), jnp.int32),
+                jax.ShapeDtypeStruct((8, 128), jnp.int32),
             ],
             interpret=interpret,
         )(words_t, blen_t, rst)
-        return (out_t[:, :Rall], ob[0, :Rall],
-                jnp.max(needs, axis=0))
+        return out_t[:, :Rall], ob[0, :Rall], needs[0, : D + 2]
 
     return fn
 
@@ -302,6 +317,10 @@ def pack_stuff_fused(bits: jnp.ndarray, lens: jnp.ndarray,
     N0 = T2 >> l0
     D = N0.bit_length() - 1
 
+    # materialization fence: early_levels consumes bits/lens several times
+    # (even/odd slices, blen sums); without the barrier XLA duplicates the
+    # whole upstream tokenizer into each consumer fusion (~2-3x cost)
+    bits, lens = jax.lax.optimization_barrier((bits, lens))
     words, blen, needs_e = early_levels(bits, lens, l0, T2)
     words_t = words.T
     blen_t = blen.T

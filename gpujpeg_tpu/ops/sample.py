@@ -66,6 +66,18 @@ def unpack_to_channels(raw, pi: ImageParameters) -> jnp.ndarray:
     if raw.ndim == 2:
         return raw.astype(jnp.int32)[..., None]
     raw = raw.reshape(-1)
+    wp = pi.width_padding
+    if wp:
+        # input rows are padded to width*unit + width_padding BYTES
+        # (gpujpeg_common.h:283-294, preprocessor.cu:189); strip the
+        # padding with a reshape+slice (fuses with the unpack)
+        from ..types import pixel_format_unit_size
+
+        unit = pixel_format_unit_size(pf)
+        if unit == 0:
+            raise ValueError(
+                "width_padding is only supported for packed pixel formats")
+        raw = raw.reshape(H, W * unit + wp)[:, :W * unit].reshape(-1)
     if pf == PixelFormat.U8:
         return raw.reshape(H, W, 1).astype(jnp.int32)
     if pf == PixelFormat.P444_U8_P012:

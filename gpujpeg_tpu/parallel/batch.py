@@ -61,6 +61,16 @@ def shardable(geo: Geometry, n_seg_shards: int) -> bool:
     return a > 0 and H % (a * n_seg_shards) == 0
 
 
+def feasible_seg_shards(geo: Geometry, n_max: int) -> int:
+    """Largest seg-shard count <= n_max the geometry supports (graceful
+    fallback instead of shardable() hard-failing: 1 = no segment
+    sharding, frames-only parallelism)."""
+    for s in range(n_max, 0, -1):
+        if s == 1 or shardable(geo, s):
+            return s
+    return 1
+
+
 def make_batch_encode_fn(mesh: Mesh, param: Parameters,
                          pi: ImageParameters, caps: enc_mod.Caps):
     """Sharded batched encode: raw (B, H, W, C) -> (rows, row_bytes).
@@ -95,8 +105,8 @@ def make_batch_encode_fn(mesh: Mesh, param: Parameters,
 
     def frame_fn(raw, shard_idx):
         bits, lens = tokens_impl(raw)
-        words, row_bits, _ = bitmerge.pack_rows_merge(bits, lens,
-                                                      caps=caps.pack)
+        words, row_bits, need1 = bitmerge.pack_rows_merge(bits, lens,
+                                                          caps=caps.pack)
         seg_bytes = (row_bits + 7) >> 3
         padded = bitmerge.or_pad_bits(words, row_bits)
         # global RST index: shard stripes are scan-major contiguous
@@ -105,12 +115,12 @@ def make_batch_encode_fn(mesh: Mesh, param: Parameters,
         rst_marker = (0xD0 + (gidx % 8)).astype(jnp.uint32)
         rows, out_bytes, max_z = bitmerge.stuff_rows_roll(
             padded, seg_bytes, rst_marker, z_cap=caps.z_cap)
-        return rows, out_bytes, max_z
+        return rows, out_bytes, jnp.concatenate([need1, max_z[None]])
 
     def shard_fn(raws):  # (B_local, H_local, W, C)
         my = jax.lax.axis_index("seg")
-        rows, out_bytes, max_z = jax.vmap(lambda r: frame_fn(r, my))(raws)
-        return rows[:, None], out_bytes[:, None], max_z[:, None]
+        rows, out_bytes, needs = jax.vmap(lambda r: frame_fn(r, my))(raws)
+        return rows[:, None], out_bytes[:, None], needs[:, None]
 
     mapped = shard_map(
         shard_fn, mesh=mesh,
@@ -147,10 +157,19 @@ class BatchEncoder:
         """raws: (B, H, W, C) uint8 -> list of JPEG byte strings."""
         res = self.fn(jnp.asarray(raws))
         jax.block_until_ready(res)
-        rows, row_bytes, max_z = (np.asarray(r) for r in res)
-        if int(max_z.max()) > self.caps.z_cap:
+        rows, row_bytes, needs = (np.asarray(r) for r in res)
+        needs = needs.reshape(-1, needs.shape[-1])
+        need1 = needs[:, :-1].max(axis=0)
+        max_z = int(needs[:, -1].max())
+        for i, cap in enumerate(self.caps.pack):
+            if int(need1[i]) > cap * 32:
+                raise RuntimeError(
+                    f"pack capacity overflow at level {i + 1} "
+                    f"({int(need1[i])} bits > {cap * 32}); construct "
+                    "BatchEncoder with larger caps")
+        if max_z > self.caps.z_cap:
             raise RuntimeError(
-                f"stuffing z_cap overflow ({int(max_z.max())} > "
+                f"stuffing z_cap overflow ({max_z} > "
                 f"{self.caps.z_cap}); construct BatchEncoder with larger "
                 "caps.z_cap")
         header = jwriter.write_header(self.geo)

@@ -99,9 +99,9 @@ def _read_segment_body(data: np.ndarray, start: int,
     nat = native.scan_split(data, start, max(4, n // 2))
     if nat is not None:
         segments, end_pos, bad = nat
-        if bad:
-            log.warning("[Recovery] %d restart markers out of sequence", bad)
-        return segments, end_pos
+        if not bad:
+            return segments, end_pos
+        # fall through to the numpy path, which resyncs
 
     ff = np.flatnonzero(data[start:n - 1] == 0xFF) + start
     nxt = data[ff + 1]
@@ -122,8 +122,30 @@ def _read_segment_body(data: np.ndarray, start: int,
     expected = (np.arange(len(rst_vals)) % 8) + markers.RST0
     bad = rst_vals != expected
     if bad.any():
-        log.warning("[Recovery] %d restart markers out of sequence",
-                    int(bad.sum()))
+        # skip-to-expected-marker resync (gpujpeg_reader.c:1071-1104): a
+        # marker that is not the expected RST(n mod 8) is treated as data
+        # — the current segment absorbs it and everything up to the
+        # expected marker.  Sequential walk; only runs on corrupt streams.
+        keep_idx = []
+        exp = 0
+        skipped_from = None
+        for i, v in enumerate(rst_vals.tolist()):
+            if v - markers.RST0 == exp % 8:
+                if skipped_from is not None:
+                    log.warning(
+                        "[Recovery] Skipping %d bytes of data until marker "
+                        "0x%X was found",
+                        int(rst_pos[i] - rst_pos[skipped_from]),
+                        markers.RST0 + exp % 8)
+                    skipped_from = None
+                keep_idx.append(i)
+                exp += 1
+            else:
+                log.warning("[Recovery] Expected marker 0x%X but 0x%X "
+                            "was presented", markers.RST0 + exp % 8, v)
+                if skipped_from is None:
+                    skipped_from = i
+        rst_pos = rst_pos[keep_idx]
     starts = np.concatenate([[start], rst_pos + 2])
     ends = np.concatenate([rst_pos, [end_pos]])
     keep = ends > starts

@@ -81,6 +81,12 @@ def pixel_format_sampling(pf: PixelFormat) -> Tuple[Tuple[int, int], ...]:
     return _PF_INFO[pf][2]
 
 
+def pixel_format_unit_size(pf: PixelFormat) -> int:
+    """Bytes per pixel for packed formats, 0 for planar
+    (gpujpeg_pixel_format_get_unit_size)."""
+    return _PF_INFO[pf][1]
+
+
 def pixel_format_is_planar(pf: PixelFormat) -> bool:
     return pf in (
         PixelFormat.P444_U8_P0P1P2,
