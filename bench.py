@@ -1,45 +1,57 @@
 #!/usr/bin/env python
-"""Headline benchmark: 8K (7680x4320, 33 Mpix) RGB encode at Q75.
+"""Benchmark matrix vs GPUJPEG's published numbers (README.md:106-161).
 
-Measures the DEVICE encode pipeline (preprocess -> MXU DCT+quant -> tokenize
--> segment-parallel pack -> on-device byte stuffing + restart markers), i.e.
-the same thing the reference reports as "without PCIe transfers": GPUJPEG on
-RTX 3080 encodes 8K Q75 in ~2.45 ms/frame device-side (README.md:128 reports
-2.13 ms at Q10 and 2.50 ms at Q90; Q75 interpolated).  The with-transfers
-number (6.20 ms) is not comparable on this rig: the host<->TPU link here is
-a development tunnel ~200x slower than PCIe 3.0 x16, and worse, the first
-device-to-host fetch in a process permanently degrades the tunnel's execution
-dispatch (~1.8 s/step afterwards).  The benchmark therefore runs in two
-phases:
+Headline (the driver-recorded JSON line): 8K (7680x4320, 33 Mpix) RGB Q75
+encode, DEVICE pipeline ms/frame — comparable to the reference's "without
+PCIe transfers" 8K figure (RTX 3080: ~2.45 ms interpolated at Q75,
+README.md:128).  The full matrix (encode HD/4K/8K/16K, decode HD/8K,
+quality sweep at 8K) lands in BENCH_MATRIX.json and on stderr.
 
-  1. a WARMUP SUBPROCESS does the full encode including host readback:
-     capacity convergence, stream assembly, and a PIL decode check.  It
-     reports the converged jit capacities and populates the persistent
-     compilation cache.
-  2. the parent process re-builds the identical program (compile-cache hit)
-     and times it honestly with the DELTA method: N serialized encodes
-     inside one jit program (block_until_ready does not synchronize through
-     this tunnel, so wall-clock deltas between N values are the only true
-     device-time measurement; constants cancel).
+Method: ONE process; a sacrificial fetch first (the first device->host
+fetch through this rig's tunnel takes minutes and degrades dispatch to
+~1.8 s/step — constants that the DELTA method cancels exactly), then for
+each config N serialized iterations inside one jit program (each
+perturbed by the previous result to force sequential execution), fetch
+one element, and report the wall-clock delta between N values.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Extra diagnostic lines go to stderr.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} (plus a
+"matrix" key with the full table).
 """
 
+import functools
 import json
 import os
-import subprocess
 import sys
 import time
 
 import numpy as np
 
-H, W = 4320, 7680
-BASELINE_MS = 2.45  # RTX 3080, 8K Q75, without PCIe transfers
+DEADLINE = float(os.environ.get("BENCH_DEADLINE", "3300"))
+T_START = time.time()
+
+BASELINES = {
+    # RTX 3080 ms/frame, README.md:110-115 (encode, with PCIe),
+    # :128 (encode w/o PCIe), :145 (decode, with PCIe)
+    "encode_hd": 0.54, "encode_4k": 1.71, "encode_8k": 6.20,
+    "encode_16k": 24.48,
+    "encode_8k_device": 2.45,          # w/o PCIe, Q75 interpolated
+    "encode_8k_q10_device": 2.13, "encode_8k_q90_device": 2.50,
+    "encode_8k_q100_device": 5.01,
+    "decode_hd": 0.75, "decode_8k": 6.76,
+}
+
+SIZES = {"hd": (1080, 1920), "4k": (2160, 3840), "8k": (4320, 7680),
+         "16k": (8640, 15360)}
 
 
-def synth_frame_device(h, w, seed=7):
-    """Photo-like synthetic content generated on device."""
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def left(): return DEADLINE - (time.time() - T_START)
+
+
+def synth_frame(h, w, seed=7):
     import jax
     import jax.numpy as jnp
 
@@ -52,121 +64,158 @@ def synth_frame_device(h, w, seed=7):
         noise = jax.random.normal(k2, (h, w, 3), jnp.float32) * 6.0
         return jnp.clip(up + noise, 0, 255).astype(jnp.uint8)
 
-    return gen(jax.random.PRNGKey(seed))
+    f = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(f)
+    return f
 
 
-def warmup():
-    """Subprocess: full encode with readback; print converged caps as JSON."""
-    import io
+def delta_time(loop, args, n_hi=9, reps=3):
+    """ms per iteration via the delta method (fetch-based)."""
+    times = {}
+    for n in (1, n_hi):
+        _ = np.asarray(loop(*args, n))          # compile this n
+        best = float("inf")
+        for _r in range(reps):
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(*args, n))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    return (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0
 
+
+def bench_encode(name, h, w, quality, matrix):
     import jax
-
-    from gpujpeg_tpu import Encoder, Parameters
-
-    frame = synth_frame_device(H, W)
-    jax.block_until_ready(frame)
-    enc = Encoder()
-    param = Parameters(quality=75, restart_interval=-1)
-
-    t0 = time.perf_counter()
-    out = enc.encode(frame, param)
-    print(f"[warmup] first frame {time.perf_counter() - t0:.0f} s, "
-          f"stream {len(out) / 1e6:.2f} MB "
-          f"({len(out) * 8 / (H * W):.3f} bpp)", file=sys.stderr)
-    try:
-        from PIL import Image
-
-        img = Image.open(io.BytesIO(out))
-        img.load()
-        assert img.size == (W, H)
-        print(f"[warmup] PIL decode OK {img.size}", file=sys.stderr)
-    except ImportError:
-        pass
-
-    geo = next(iter(enc._caps))
-    caps = enc._caps[geo]
-    print(json.dumps({"pack": list(caps.pack), "z_cap": caps.z_cap}))
-
-
-def main():
-    # phase 1: warmup subprocess (pays the tunnel's fetch penalty there)
-    env = dict(os.environ)
-    r = subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--warmup"], capture_output=True, text=True, env=env)
-    sys.stderr.write(r.stderr)
-    if r.returncode != 0:
-        sys.stderr.write(r.stdout)
-        raise SystemExit("warmup subprocess failed")
-    caps_json = json.loads(r.stdout.strip().splitlines()[-1])
-
-    # phase 2: fetch-free steady-state timing
-    import jax
-
-    from gpujpeg_tpu import Parameters
-    from gpujpeg_tpu.models import encoder as enc_mod
-    from gpujpeg_tpu import Encoder
-
-    frame = synth_frame_device(H, W)
-    jax.block_until_ready(frame)
-    enc = Encoder()
-    param = Parameters(quality=75, restart_interval=-1)
-
-    # preload the converged capacities so the compiled program matches the
-    # warmup subprocess (compile-cache hit) and never overflows
-    from gpujpeg_tpu.types import ColorSpace, ImageParameters, PixelFormat
-    from gpujpeg_tpu.utils.geometry import get_geometry
-
-    pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
-                         pixel_format=PixelFormat.P444_U8_P012)
-    geo = get_geometry(enc_mod.adjust_params(param, pi), pi)
-    caps = enc_mod.Caps(pack=tuple(caps_json["pack"]),
-                        z_cap=int(caps_json["z_cap"]))
-
-    # Honest timing on this rig: block_until_ready does NOT synchronize
-    # through the tunnel, and any fetch costs a large constant.  So run N
-    # serialized encodes INSIDE one jit program (each frame perturbed by the
-    # previous frame's first output word to force true sequential execution),
-    # fetch one element, and report the wall-clock DELTA between N values —
-    # constants (dispatch, fetch, transfer) cancel exactly.
-    import functools
-
     import jax.numpy as jnp
 
-    base = enc_mod.make_full_encode_fn(geo, caps)
+    from gpujpeg_tpu import Encoder, Parameters
+    from gpujpeg_tpu.models import encoder as enc_mod
+
+    t0 = time.time()
+    frame = synth_frame(h, w)
+    enc = Encoder()
+    param = Parameters(quality=quality, restart_interval=-1)
+    # converge capacities (fetches meta; sacrificial fetch already paid)
+    geo, res, meta = enc.encode_to_device(frame, param)
+    caps = enc._caps[geo]
+    fn = enc_mod.make_full_encode_fn(geo, caps)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(raw, n):
         def body(i, carry):
-            res = base(raw.at[0, 0, 0].set(carry))
-            return res["rows"][0, 0].astype(jnp.uint8)
+            r = fn(raw.at[0, 0, 0].set(carry))
+            return r["meta"][-1].astype(jnp.uint8)
 
         return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
 
-    _ = np.asarray(loop(frame, 1))  # sacrificial first fetch + compile
-    times = {}
-    n_hi = 9
-    for n in (1, n_hi):
-        _ = np.asarray(loop(frame, n))  # compile this n
-        best = float("inf")
-        for _r in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(loop(frame, n))
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
-        print(f"[bench] n={n}: {best * 1000:.1f} ms", file=sys.stderr)
-    dt = (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0
+    dt = delta_time(loop, (frame,))
+    gpix = h * w / dt / 1e6
+    matrix[name] = {"ms": round(dt, 3), "gpix_s": round(gpix, 3),
+                    "setup_s": round(time.time() - t0, 1)}
+    log(f"[bench] {name}: {dt:.2f} ms/frame ({gpix:.2f} Gpix/s, "
+        f"setup {time.time()-t0:.0f}s)")
+    return dt, enc, geo, res, meta
 
-    print(f"{n} frames, {dt:.2f} ms/frame device pipeline", file=sys.stderr)
+
+def bench_decode(name, stream, matrix):
+    import jax
+
+    from gpujpeg_tpu import Decoder
+
+    t0 = time.time()
+    dec = Decoder()
+    fn, words, nbits = dec.compile_stream_pipeline(stream)
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(words, nbits, n):
+        def body(i, carry):
+            img = fn(words.at[0, 0].set(carry.astype(jnp.uint32)), nbits)
+            flat = img.reshape(-1)
+            return flat[0].astype(jnp.int32)
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    dt = delta_time(loop, (words, nbits))
+    host_ms = dec.stats.duration_stream
+    matrix[name] = {"ms": round(dt, 3),
+                    "host_parse_ms": round(host_ms, 2),
+                    "setup_s": round(time.time() - t0, 1)}
+    log(f"[bench] {name}: {dt:.2f} ms/frame device "
+        f"(+{host_ms:.1f} ms host parse, setup {time.time()-t0:.0f}s)")
+    return dt
+
+
+def main():
+    import jax
+
+    log(f"[bench] backend: {jax.default_backend()}")
+    matrix = {}
+
+    # sacrificial fetch: pays the tunnel's first-fetch penalty up front
+    t0 = time.time()
+    import jax.numpy as jnp
+
+    _ = np.asarray(jax.jit(lambda x: x + 1)(jnp.ones((8, 128))))
+    log(f"[bench] sacrificial fetch: {time.time()-t0:.0f} s")
+
+    # ---- headline: 8K Q75 encode ----
+    dt8k, enc, geo8k, res8k, meta8k = bench_encode(
+        "encode_8k_q75_device", *SIZES["8k"], 75, matrix)
+
+    # 8K stream for the decode benchmark (assemble on host)
+    stream8k = None
+    try:
+        t0 = time.time()
+        stream8k = enc.assemble(geo8k, res8k, meta8k)
+        log(f"[bench] 8K stream assembled: {len(stream8k)/1e6:.1f} MB "
+            f"({time.time()-t0:.0f}s)")
+    except Exception as e:
+        log(f"[bench] 8K assembly failed: {e!r}")
+
+    # ---- the rest of the matrix, deadline-gated ----
+    plan = [("encode", "hd", 75), ("encode", "4k", 75),
+            ("encode", "16k", 75),
+            ("encode", "8k", 90), ("encode", "8k", 10),
+            ("encode", "8k", 100), ("encode", "8k", 50)]
+    enc_sessions = {}
+    for kind, size, q in plan:
+        if left() < 420:
+            log(f"[bench] deadline: skipping {kind}_{size}_q{q}")
+            continue
+        try:
+            name = f"{kind}_{size}_q{q}_device"
+            dt, e, g, r, m = bench_encode(name, *SIZES[size], q, matrix)
+            enc_sessions[(size, q)] = (e, g, r, m)
+        except Exception as ex:
+            log(f"[bench] {kind} {size} q{q} FAILED: {ex!r}")
+
+    # ---- decode ----
+    if left() > 500 and stream8k is not None:
+        try:
+            bench_decode("decode_8k_q75_device", stream8k, matrix)
+        except Exception as ex:
+            log(f"[bench] decode 8k FAILED: {ex!r}")
+    if left() > 400 and ("hd", 75) in enc_sessions:
+        try:
+            e, g, r, m = enc_sessions[("hd", 75)]
+            stream_hd = e.assemble(g, r, m)
+            bench_decode("decode_hd_q75_device", stream_hd, matrix)
+        except Exception as ex:
+            log(f"[bench] decode hd FAILED: {ex!r}")
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_MATRIX.json"), "w") as f:
+        json.dump(matrix, f, indent=1)
+    log("[bench] matrix: " + json.dumps(matrix))
+
     print(json.dumps({
         "metric": "encode_8k_rgb_q75_device_ms_per_frame",
-        "value": round(dt, 3),
+        "value": round(dt8k, 3),
         "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / dt, 3),
+        "vs_baseline": round(BASELINES["encode_8k_device"] / dt8k, 3),
+        "matrix": matrix,
     }))
 
 
 if __name__ == "__main__":
-    if "--warmup" in sys.argv:
-        warmup()
-    else:
-        main()
+    main()

@@ -528,6 +528,58 @@ class Decoder:
                 "corrupt segment(s) during Huffman decode")
         return out
 
+    def compile_stream_pipeline(self, data: bytes):
+        """Build ONE jittable device function for streams shaped like
+        `data`: (words, nbits) -> decoded image.  Runs a full decode
+        first to converge the split capacities, then returns
+        (fn, words, nbits) with the example stream's device inputs.
+        Used for steady-state serving and honest device-side decode
+        benchmarking (every phase in a single program, no host syncs)."""
+        first = self.decode(data)  # converge plan + split caps
+        del first
+        ps = reader.parse(data)
+        param = reader.parsed_to_parameters(ps)
+        out_pi = resolve_output(ps, self._output_request,
+                                self.alignment_bytes)
+        geo = get_geometry(param, out_pi.with_(width_padding=0))
+        ranges = self._segment_ranges(ps, geo)
+        max_seg_bytes = max((en - st) for st, en in ranges)
+        max_words = _bucket((max_seg_bytes + 3) // 4)
+        words_np, nbits = segprep.pack_segments_matrix(ps.data, ranges,
+                                                       max_words)
+        plan = self._plan_for(geo, ps)
+        if plan is None:
+            raise ValueError("legacy-path streams have no fused pipeline")
+        caps = plan.split_caps
+        bps = plan.bps
+        nseg = geo.segment_count
+        blocks_per_seg = plan.blk_valid.reshape(nseg, bps) \
+            .sum(axis=1).astype(np.int32)
+        qtabs = np.stack([ps.quant_tables[ps.quant_map[c.index]]
+                          for c in geo.components]).astype(np.float32)
+        split_fn = self._split_fn(bps, caps)
+        scan_fn = plan.scan_fn
+        block_fn = plan.block_fn()
+        idct_fn = _make_idct_post_fn(geo)
+        dc_l = jnp.asarray(plan.dc_luma_row)
+        ac_l = jnp.asarray(plan.ac_luma_row)
+        bdc = jnp.asarray(plan.blk_dc_luma)
+        bac = jnp.asarray(plan.blk_ac_luma)
+        bva = jnp.asarray(plan.blk_valid)
+        bps_d = jnp.asarray(blocks_per_seg)
+        qt = jnp.asarray(qtabs)
+        comp_pattern = plan.comp_pattern
+
+        def fn(words, nbits_d):
+            bstart, errA = scan_fn(words, nbits_d, bps_d, dc_l, ac_l)
+            bufs = split_fn(words, bstart).reshape(nseg * bps, -1)
+            bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(nseg * bps)
+            coefs, errC = block_fn(bufs, bit_len, bdc, bac, bva)
+            coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), comp_pattern)
+            return idct_fn(coefs, qt)
+
+        return jax.jit(fn), jnp.asarray(words_np), jnp.asarray(nbits)
+
     @staticmethod
     def _segment_ranges(ps, geo):
         """Per-scan segment ranges padded/truncated to the geometry's

@@ -274,6 +274,8 @@ def split_needs(bstart: jnp.ndarray, bps: int):
     needs[i] = max words of any level-(i+1) buffer; block_words = max words
     of any single block."""
     levels, ranges = split_plan(bps)
+    if not levels:          # bps == 1: no split, buffer = whole segment
+        return jnp.zeros((0,), jnp.int32)
     needs = []
     cur = [(0, bps)]
     for splits in levels:

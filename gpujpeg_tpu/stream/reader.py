@@ -301,6 +301,14 @@ def parse(data: bytes) -> ParsedStream:
             scan.sos_pos = pos - 2
             scan.data_start = scan_data_start
             si = ps.segment_info.get(len(ps.scans))
+            if si and (any(a > b for a, b in zip(si, si[1:]))
+                       or len(si) < 2
+                       or scan_data_start + si[-1] > len(arr)):
+                # corrupt segment-info index (non-monotonic or out of
+                # range): ignore it and fall back to marker parsing
+                log.warning("scan %d: invalid APP13 segment-info offsets; "
+                            "falling back to scan parsing", len(ps.scans))
+                si = None
             if si:
                 # O(1) segment split from APP13 offsets (reader.c:1167-1232)
                 base = scan_data_start
