@@ -152,12 +152,16 @@ def apply_pre_transform(raw, pre):
     return raw
 
 
-def make_rows_tokens_impl(geo: Geometry, pre=None):
+def make_rows_tokens_impl(geo: Geometry, pre=None, pairs: bool = False):
     """Build the raw -> (bits_rows, lens_rows) device function: per-segment
     token rows (nseg, T) in stream order, assembled purely with
     reshape/transpose/concat (the reference's device block list,
-    gpujpeg_common.c:1031-1088, becomes layout math)."""
+    gpujpeg_common.c:1031-1088, becomes layout math).
+
+    pairs=True emits level-1 pre-merged (nseg, T/2) left-aligned words
+    (tokens.tokenize_rows pairs mode) for the fused Pallas packer."""
     qtabs, dc_luts, ac_luts = _component_luts(geo.param.quality)
+    tpb = 32 if pairs else 64   # emitted slots per block
 
     if not geo.interleaved:
         valids = []
@@ -181,7 +185,7 @@ def make_rows_tokens_impl(geo: Geometry, pre=None):
                     blocks = jnp.pad(blocks, ((0, padB), (0, 0)))
                 rows = blocks.reshape(S, rst, 64)
                 b, l = tokens.tokenize_rows(rows, dc_luts[ti], ac_luts[ti],
-                                            valids[c.index])
+                                            valids[c.index], pairs=pairs)
                 bits_list.append(b)
                 lens_list.append(l)
             return (jnp.concatenate(bits_list, axis=0),
@@ -211,10 +215,10 @@ def make_rows_tokens_impl(geo: Geometry, pre=None):
                 rows = x.reshape(S, rst * bpm_c, 64)
                 vm = np.repeat(mcu_valid, bpm_c, axis=1)
                 b, l = tokens.tokenize_rows(rows, dc_luts[ti], ac_luts[ti],
-                                            vm)
-                # (S, rst*bpm_c*64) -> (S, rst, bpm_c*64) for interleaving
-                per_comp.append((b.reshape(S, rst, bpm_c * 64),
-                                 l.reshape(S, rst, bpm_c * 64)))
+                                            vm, pairs=pairs)
+                # (S, rst*bpm_c*tpb) -> (S, rst, bpm_c*tpb) to interleave
+                per_comp.append((b.reshape(S, rst, bpm_c * tpb),
+                                 l.reshape(S, rst, bpm_c * tpb)))
             bits = jnp.concatenate([b for b, _ in per_comp], axis=2)
             lens = jnp.concatenate([l for _, l in per_comp], axis=2)
             return bits.reshape(S, -1), lens.reshape(S, -1)
@@ -356,11 +360,12 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
                  scan_end..., total_bytes] — one small fetch per frame
                  covers overflow detection and host assembly offsets
     """
-    tokens_impl = make_rows_tokens_impl(geo, pre)
     scan_first = geo.scan_seg_bounds[:-1].astype(np.int32)
     scan_last = (geo.scan_seg_bounds[1:] - 1).astype(np.int32)
 
     fused = isinstance(caps, FusedCaps)
+    pairs = bool(fused and caps.l0 == 1)
+    tokens_impl = make_rows_tokens_impl(geo, pre, pairs=pairs)
     if fused:
         from ..ops import fusedpack
 
@@ -369,9 +374,14 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
     def fn(raw):
         bits, lens = tokens_impl(raw)
         if fused:
-            rows, out_bytes, needs = fusedpack.pack_stuff_fused(
-                bits, lens, geo.rst_marker, l0=caps.l0, z_cap=caps.z_cap,
-                w_out=caps.w_out, interpret=interp)
+            if pairs:
+                rows, out_bytes, needs = fusedpack.pack_stuff_fused_pre(
+                    bits, lens, geo.rst_marker, z_cap=caps.z_cap,
+                    w_out=caps.w_out, interpret=interp)
+            else:
+                rows, out_bytes, needs = fusedpack.pack_stuff_fused(
+                    bits, lens, geo.rst_marker, l0=caps.l0,
+                    z_cap=caps.z_cap, w_out=caps.w_out, interpret=interp)
         else:
             words, row_bits, need1 = bitmerge.pack_rows_merge(
                 bits, lens, caps=caps.pack)
@@ -595,7 +605,13 @@ class Encoder:
                 if fusedpack.needs_ok(needs, caps.l0, caps.z_cap,
                                       caps.w_out):
                     return geo, res, meta
-                caps = grown_fused_caps(geo, caps, needs)
+                if int(needs[-2]) > 250:
+                    # beyond the SWAR stuffing chain's exact range
+                    # (fusedpack c_packed clamp): this geometry/content
+                    # needs the worst-case XLA merge tree
+                    caps = initial_caps(geo)
+                else:
+                    caps = grown_fused_caps(geo, caps, needs)
             else:
                 need1, need_z = needs[:-1], int(needs[-1])
                 n1 = len(caps.pack)

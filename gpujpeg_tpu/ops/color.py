@@ -50,12 +50,25 @@ def _scale_255_to_256_trunc(c):
     return q + jnp.where((t % 255 != 0) & (t < 0), 1, 0)
 
 
+def _mat3(r, m):
+    """(..., 3) @ m.T as explicit VPU elementwise ops — a (.., 3) x (3, 3)
+    integer dot would otherwise lower through a degenerate MXU path."""
+    cols = [r[..., 0], r[..., 1], r[..., 2]]
+    outs = []
+    for i in range(3):
+        acc = cols[0] * int(m[i][0])
+        acc = acc + cols[1] * int(m[i][1])
+        acc = acc + cols[2] * int(m[i][2])
+        outs.append(acc)
+    return jnp.stack(outs, axis=-1)
+
+
 def _apply_to(c, matrix, base):
     """'to' direction (gpujpeg_color_transform_to<8>)."""
     m = np.asarray(matrix, dtype=np.int32).reshape(3, 3)
     b = np.asarray(base, dtype=np.int32)
     r = _scale_255_to_256(c.astype(jnp.int32))
-    out = (r @ jnp.asarray(m.T) + 128) >> 8
+    out = (_mat3(r, m) + 128) >> 8
     return jnp.clip(out + jnp.asarray(b), 0, 255)
 
 
@@ -64,7 +77,7 @@ def _apply_from(c, matrix, base):
     m = np.asarray(matrix, dtype=np.int32).reshape(3, 3)
     b = np.asarray(base, dtype=np.int32)
     r = _scale_255_to_256_trunc(c.astype(jnp.int32) - jnp.asarray(b))
-    out = (r @ jnp.asarray(m.T) + 128) >> 8
+    out = (_mat3(r, m) + 128) >> 8
     return jnp.clip(out, 0, 255)
 
 

@@ -38,6 +38,23 @@ def blocks_to_plane(blocks: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     return x.reshape(H, W)
 
 
+def _use_split_bf16() -> bool:
+    """MXU path selection: on TPU the (64, 64) DCT matrix is split into
+    bf16 high + low halves (M = hi + lo, both exactly representable);
+    uint8 samples are exact in bf16, so x@hi + x@lo with f32 accumulation
+    recovers ~f32 accuracy at full-MXU bf16 speed — 2 passes instead of
+    the 6 of Precision.HIGHEST's f32 emulation.  Override with
+    GPUJPEG_TPU_DCT=f32."""
+    import os
+
+    if os.environ.get("GPUJPEG_TPU_DCT", "") == "f32":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
 def fdct_quantize(plane: jnp.ndarray, qtab_zz: np.ndarray) -> jnp.ndarray:
     """Forward DCT + quantize one component plane.
 
@@ -45,9 +62,20 @@ def fdct_quantize(plane: jnp.ndarray, qtab_zz: np.ndarray) -> jnp.ndarray:
     returns: (nblocks, 64) int16 quantized coefficients in zig-zag order.
     """
     Mq, bias = tables.fdct_fused_matrix(np.asarray(qtab_zz))
-    x = plane_to_blocks(plane).astype(jnp.float32)
-    y = jnp.dot(x, jnp.asarray(Mq), preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+    if _use_split_bf16():
+        hi = Mq.astype(np.float32).astype(jnp.bfloat16)
+        lo = (Mq.astype(np.float32) - np.asarray(hi).astype(np.float32)
+              ).astype(jnp.bfloat16)
+        x = plane_to_blocks(plane).astype(jnp.bfloat16)
+        y = (jnp.dot(x, jnp.asarray(hi),
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(x, jnp.asarray(lo),
+                       preferred_element_type=jnp.float32))
+    else:
+        x = plane_to_blocks(plane).astype(jnp.float32)
+        y = jnp.dot(x, jnp.asarray(Mq),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     y = y + jnp.asarray(bias)
     # rintf == round-half-to-even, same as jnp.round
     return jnp.round(y).astype(jnp.int16)

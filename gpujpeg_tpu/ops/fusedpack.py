@@ -110,21 +110,29 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
         la = jnp.where(second, _roll(blen, half), blen)
         lb = jnp.where(second, blen, _roll(blen, -half))
         blen = la + lb
+        la_max = jnp.max(jnp.where(second, la, 0))
         needs_vals.append(jnp.max(blen))
 
         b = jnp.where(second, x, jnp.uint32(0))
-        # whole-word move UP first: b's words go from rel slots
-        # [half, span) to [w, w+half) with w = la//32, i.e. shift by
-        # m = half - w.  Slots outside the destination stay zero, so the
-        # sub-word pass below needs only a static span-boundary mask and
-        # the spill word (b's low r bits crossing into word w+half) lands
-        # in-span instead of being truncated.
-        m = half - (la >> 5)
+        # whole-word move: b's words go from rel slots [half, span) to
+        # [w, w+half) with w = la//32.  Decomposed as one STATIC roll by
+        # -half (slots [0, half)) followed by a log-step move UP by w;
+        # steps whose bit exceeds the tile-wide max w are skipped at
+        # runtime (lax.cond on the scalar) — on typical content w <= 2,
+        # so only 1-2 of the d steps execute.
+        keep = (sub & (span - 1)) < half              # static
+        b = jnp.where(keep, _roll(b, -half), jnp.uint32(0))
+        w = la >> 5
+        w_max = la_max >> 5
         for j in range(d):
             step = 1 << j
-            same = (sub & (span - 1)) + step < span   # static per (j, d)
-            moved = jnp.where(same, _roll(b, -step), jnp.uint32(0))
-            b = jnp.where((m & step) != 0, moved, b)
+
+            def _move(b=b, step=step, span=span, w=w):
+                inside = (sub & (span - 1)) >= step   # static per (j, d)
+                moved = jnp.where(inside, _roll(b, step), jnp.uint32(0))
+                return jnp.where((w & step) != 0, moved, b)
+
+            b = jax.lax.cond(w_max >= step, _move, lambda b=b: b)
         # sub-word shift right by r = la & 31 with carry from the previous
         # word (zero below w, so no dynamic masking is needed)
         r = (la & 31).astype(jnp.uint32)
@@ -155,12 +163,24 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
     x = x | jnp.where(ssub == wi, ones, jnp.uint32(0))
     row_bytes = (row_bits + 7) >> 3       # (1, R)
 
-    # ---- byte stuffing on 4 byte planes (plane j = byte j of each word) --
-    planes = [((x >> (24 - 8 * j)) & 0xFF) for j in range(4)]
-    valid = [(4 * ssub + j) < row_bytes for j in range(4)]
-    is_ff = [valid[j] & (planes[j] == 0xFF) for j in range(4)]
-    ffc = [f.astype(jnp.int32) for f in is_ff]
-    word_ff = ffc[0] + ffc[1] + ffc[2] + ffc[3]
+    # ---- byte stuffing, SWAR on packed words ----
+    # exact per-byte zero test: 0x80 per zero byte, borrow-free (the
+    # classic (v-K1)&~v&K80 cascades false positives past a zero byte)
+    K1 = jnp.uint32(0x01010101)
+    K7F = jnp.uint32(0x7F7F7F7F)
+
+    def zero_bytes_msb(v):
+        return ~(((v & K7F) + K7F) | v | K7F)
+
+    y = ~x
+    ff_msb = zero_bytes_msb(y)            # high bit set per 0xFF byte
+    ind = (ff_msb >> 7) & K1              # LSB set per 0xFF byte
+    # per-byte validity: byte j of word s is real iff 4*s + j < row_bytes
+    nb = jnp.clip(row_bytes - 4 * ssub, 0, 4)
+    vm = jnp.where(nb == 0, jnp.uint32(0),
+                   (K1 << ((8 * (4 - nb)) & 31).astype(jnp.uint32)))
+    ind = ind & vm
+    word_ff = ((ind * K1) >> 24).astype(jnp.int32)   # FFs in this word
     # exclusive cumsum of per-word FF counts down sublanes (Hillis-Steele)
     cum = word_ff
     s = 1
@@ -170,53 +190,56 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
     cum_excl = cum - word_ff
     nff = cum[W_stuff - 1:W_stuff, :]     # (1, R) total FFs per row
     needs_vals.append(jnp.max(nff))
+    nff_max = jnp.max(nff)
 
-    # ffx[j] = 1-based rank of the FF at byte (word s, byte j)
-    run = cum_excl
-    ffx, pos_base = [], []
-    for j in range(4):
-        run = run + ffc[j]
-        ffx.append(run)                   # inclusive rank if this is an FF
-    # output position of the k-th stuffed zero: source byte index + k
-    q = [4 * ssub + j for j in range(4)]
-    poss = []
-    for k in range(1, min(z_cap, 4 * W_stuff) + 1):
-        p = jnp.zeros((1, R), jnp.int32)
-        for j in range(4):
-            m = is_ff[j] & (ffx[j] == k)
-            p = p + jnp.sum(jnp.where(m, q[j] + k, 0), axis=0,
-                            keepdims=True)
-        poss.append(jnp.where(nff >= k, p, jnp.int32(4 * W_stuff + 7)))
+    # c_packed: per-byte exclusive FF count (clamped; invalid bytes 0xFF)
+    # clamp at 254 (255 marks invalid): shifts s are exact for s <= 250,
+    # which bounds the fused path's z_cap (the encoder falls back to the
+    # XLA tree beyond that — see grown_fused_caps)
+    pref = (ind >> 8) + (ind >> 16) + (ind >> 24)    # in-word prefix, <= 3
+    cb = jnp.minimum(cum_excl, 251).astype(jnp.uint32)
+    c_packed = cb * K1 + pref
+    c_packed = c_packed | ((vm ^ K1) * jnp.uint32(0xFF))
 
-    z = [jnp.zeros((W_stuff, R), jnp.int32) for _ in range(4)]
-    stuffed = [jnp.zeros((W_stuff, R), jnp.bool_) for _ in range(4)]
-    for p in poss:
-        for j in range(4):
-            z[j] = z[j] + (q[j] >= p).astype(jnp.int32)
-            stuffed[j] = stuffed[j] | (q[j] == p)
+    # out byte q' = src byte q'-s where c[q'-s] == s: incremental packed
+    # byte-shift chain, runtime-trip-limited by the tile's max FF count
+    def match_or(out, sp, sc, s):
+        d_ = sc ^ (jnp.uint32(s) * K1)
+        zb = zero_bytes_msb(d_)
+        m = (zb >> 7) * jnp.uint32(0xFF)
+        return out | (sp & m)
 
-    # out[q'] = src[q' - z(q')] via an incremental byte-shift select chain
-    shifted = list(planes)
-    out = [jnp.where(z[j] == 0, shifted[j], jnp.uint32(0)) for j in range(4)]
-    for k in range(1, min(z_cap, 4 * W_stuff) + 1):
-        shifted = [_roll(shifted[3], 1), shifted[0], shifted[1], shifted[2]]
-        out = [jnp.where(z[j] == k, shifted[j], out[j]) for j in range(4)]
-    out = [jnp.where(stuffed[j], jnp.uint32(0), out[j]) for j in range(4)]
+    out = match_or(jnp.zeros_like(x), x, c_packed, 0)
+    sp, sc = x, c_packed
+    for s in range(1, min(z_cap, 4 * W_stuff) + 1):
+        def _step(out=out, sp=sp, sc=sc, s=s):
+            top = jnp.where(ssub == 0, jnp.uint32(0), _roll(sp, 1))
+            topc = jnp.where(ssub == 0, jnp.uint32(0xFFFFFFFF),
+                             _roll(sc, 1))
+            sp2 = (sp >> 8) | (top << 24)
+            sc2 = (sc >> 8) | (topc << 24)
+            return match_or(out, sp2, sc2, s), sp2, sc2
 
-    # ---- restart marker + tail zeroing ----
+        out, sp, sc = jax.lax.cond(
+            nff_max >= s, _step,
+            lambda out=out, sp=sp, sc=sc: (out, sp, sc))
+
+    # ---- restart marker (bytes beyond end are already zero) ----
     end = row_bytes + nff                 # (1, R)
     rst = rst_ref[0:1, :].astype(jnp.uint32)
     has = rst != 0
     mlen = jnp.where(has, 2, 0)
-    for j in range(4):
-        out[j] = jnp.where(has & (q[j] == end), jnp.uint32(0xFF), out[j])
-        out[j] = jnp.where(has & (q[j] == end + 1), rst, out[j])
-        out[j] = jnp.where(q[j] >= end + mlen, jnp.uint32(0), out[j])
+    wi_e = end >> 2
+    bo_e = (end & 3).astype(jnp.uint32)
+    mk1 = (jnp.uint32(0xFF) << ((24 - 8 * bo_e) & 31)) \
+        | jnp.where(bo_e < 3, rst << ((16 - 8 * bo_e) & 31), jnp.uint32(0))
+    mk2 = jnp.where(bo_e == 3, rst << 24, jnp.uint32(0))
+    out = out | jnp.where(has & (ssub == wi_e), mk1, jnp.uint32(0))
+    out = out | jnp.where(has & (ssub == wi_e + 1), mk2, jnp.uint32(0))
     out_bytes = end + mlen
     needs_vals.append(jnp.max(out_bytes))
 
-    words = ((out[0] << 24) | (out[1] << 16) | (out[2] << 8) | out[3])
-    out_ref[:, :] = words[:W_out]
+    out_ref[:, :] = out[:W_out]
     ob_ref[:, :] = out_bytes
 
     # needs: one (8, 128)-tile accumulator block shared by every grid step
@@ -327,6 +350,37 @@ def pack_stuff_fused(bits: jnp.ndarray, lens: jnp.ndarray,
     rst = jnp.asarray(rst_marker).astype(jnp.int32).reshape(1, R)
     fn = _cached_kernel(N0, D, w_out, z_cap, 128, interpret)
     out_t, out_bytes, needs_d = fn(words_t, blen_t, rst)
+    needs = jnp.concatenate([needs_e, needs_d])
+    return out_t.T, out_bytes, needs
+
+
+def pack_stuff_fused_pre(x2: jnp.ndarray, l2: jnp.ndarray,
+                         rst_marker, z_cap: int, w_out: int,
+                         interpret: bool = False):
+    """Fused entropy back-end for PRE-MERGED level-1 input (the tokenizer's
+    pairs=True output): x2 (R, T/2) uint32 left-aligned merged pair words,
+    l2 (R, T/2) int32 merged bit lengths.
+
+    Equivalent to pack_stuff_fused(bits, lens, l0=1, ...) but the level-1
+    merge already happened inside the tokenizer fusion, halving the HBM
+    round trip of the token arrays.  The needs vector layout is identical
+    (needs[0] = max pair bits, then per-deep-level maxima, max stuffed
+    zeros, max output bytes).
+    """
+    R, W1 = x2.shape
+    N0 = pow2_ge(W1)
+    D = N0.bit_length() - 1
+
+    # barrier: the max-reduce and the transpose would otherwise each pull
+    # a private copy of the whole tokenizer fusion
+    x2, l2 = jax.lax.optimization_barrier((x2, l2))
+    needs_e = jnp.max(l2).astype(jnp.int32)[None]
+    if N0 != W1:
+        x2 = jnp.pad(x2, ((0, 0), (0, N0 - W1)))
+        l2 = jnp.pad(l2, ((0, 0), (0, N0 - W1)))
+    rst = jnp.asarray(rst_marker).astype(jnp.int32).reshape(1, R)
+    fn = _cached_kernel(N0, D, w_out, z_cap, 128, interpret)
+    out_t, out_bytes, needs_d = fn(x2.T, l2.T, rst)
     needs = jnp.concatenate([needs_e, needs_d])
     return out_t.T, out_bytes, needs
 

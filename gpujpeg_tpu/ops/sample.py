@@ -103,7 +103,7 @@ def unpack_to_channels(raw, pi: ImageParameters) -> jnp.ndarray:
 def preprocess(raw, geo: Geometry, pi: ImageParameters) -> List[jnp.ndarray]:
     """Encode-side preprocessor: raw image -> per-component padded planes.
 
-    Returns one (data_height, data_width) int32 plane per component,
+    Returns one (data_height, data_width) uint8 plane per component,
     color-transformed to param.color_space_internal, decimated per the
     component sampling factors, zero-padded to MCU multiples.
     """
@@ -128,9 +128,12 @@ def preprocess(raw, geo: Geometry, pi: ImageParameters) -> List[jnp.ndarray]:
         sh = geo.max_h // c.samp_h
         sv = geo.max_v // c.samp_v
         p = chans[::sv, ::sh, c.index]
-        # pad real dims up to component dims then data dims (zero-fill)
-        p = jnp.pad(p, ((0, c.data_height - p.shape[0]),
-                        (0, c.data_width - p.shape[1])))
+        # pad real dims up to component dims then data dims (zero-fill);
+        # planes are uint8 (values already clipped to [0, 255]) so the
+        # downstream block transpose moves 1 B/sample, not 4
+        p = jnp.pad(p.astype(jnp.uint8),
+                    ((0, c.data_height - p.shape[0]),
+                     (0, c.data_width - p.shape[1])))
         planes.append(p)
     return planes
 

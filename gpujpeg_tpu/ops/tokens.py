@@ -27,7 +27,7 @@ import numpy as np
 
 
 def tokenize_rows(coefs: jnp.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray,
-                  valid: np.ndarray | None = None):
+                  valid: np.ndarray | None = None, pairs: bool = False):
     """Huffman-tokenize segment rows of blocks, gather-free.
 
     XLA gathers cost ~10 ns/element on TPU, but gathers from <=16-entry
@@ -45,6 +45,12 @@ def tokenize_rows(coefs: jnp.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray,
     valid:  (S, B) bool static mask; False blocks emit no tokens
 
     Returns (bits, lens): (S, B*64) uint32 / int32.
+
+    pairs=True folds the fused packer's level-1 merge into this fusion:
+    adjacent token pairs are left-aligned and merged, returning
+    (x2, l2): (S, B*32) uint32 left-aligned merged words / int32 merged
+    bit lengths (<= 54; the caller must verify max(l2) <= 32 via the
+    needs protocol).  Halves the HBM traffic of the token arrays.
     """
     S, B, _ = coefs.shape
     v = coefs.astype(jnp.int16)
@@ -101,8 +107,21 @@ def tokenize_rows(coefs: jnp.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray,
     lens = jnp.where(emit, lens, jnp.int16(0))
     if valid is not None:
         lens = lens * jnp.asarray(valid.astype(np.int16))[:, :, None]
-    return (bits.reshape(S, B * 64),
-            lens.reshape(S, B * 64).astype(jnp.int32))
+    if not pairs:
+        return (bits.reshape(S, B * 64),
+                lens.reshape(S, B * 64).astype(jnp.int32))
+    l32 = lens.astype(jnp.int32)
+    # left-align (len <= 27, so 32-len in [5, 31]); zero empty slots
+    x = jnp.where(l32 > 0,
+                  bits << (32 - jnp.clip(l32, 1, 31)).astype(jnp.uint32),
+                  jnp.uint32(0))
+    xr = x.reshape(S, B, 32, 2)
+    lr = l32.reshape(S, B, 32, 2)
+    a, b = xr[..., 0], xr[..., 1]
+    la, lb = lr[..., 0], lr[..., 1]
+    merged = a | (b >> jnp.clip(la, 0, 31).astype(jnp.uint32))
+    mlen = la + lb
+    return merged.reshape(S, B * 32), mlen.reshape(S, B * 32)
 
 
 def make_huffman_luts(huff_enc_dc: np.ndarray, huff_enc_ac: np.ndarray):

@@ -13,7 +13,7 @@ from gpujpeg_tpu.ops import bitmerge, fusedpack
 import jax.numpy as jnp
 
 
-def xla_reference(bits, lens, rst, T):
+def xla_reference(bits, lens, rst, T, z_cap=64):
     """bitmerge pack -> pad -> stuff, worst-case caps (always correct)."""
     caps = bitmerge.worst_caps(T, 27)
     words, row_bits, _ = bitmerge.pack_rows_merge(
@@ -21,7 +21,7 @@ def xla_reference(bits, lens, rst, T):
     seg_bytes = (row_bits + 7) >> 3
     padded = bitmerge.or_pad_bits(words, row_bits)
     rows, out_bytes, _ = bitmerge.stuff_rows_roll(
-        padded, seg_bytes, rst, z_cap=64)
+        padded, seg_bytes, rst, z_cap=z_cap)
     return np.asarray(rows), np.asarray(out_bytes)
 
 
@@ -72,19 +72,80 @@ def test_fused_matches_xla(rng, T, l0, density, max_len):
 
 
 def test_fused_ff_heavy_stuffing(rng):
-    """All-ones tokens produce runs of 0xFF bytes; stuffing must match."""
+    """All-ones tokens produce runs of 0xFF bytes; stuffing must match.
+
+    This content realizes ~78 stuffed zeros per row, so z_cap must cover
+    it (the encoder's needs protocol would otherwise grow z_cap and
+    retry); with an insufficient z_cap both paths signal via needs[-2]."""
     R, T = 5, 64
     bits, lens = random_tokens(rng, R, T, max_len=20, density=0.8,
                                ff_bias=True)
     rst = np.full(R, 0xD3, np.uint32)
-    ref_rows, ref_bytes = xla_reference(bits, lens, rst, T)
+    ref_rows, ref_bytes = xla_reference(bits, lens, rst, T, z_cap=128)
     w_out = int(np.max(ref_bytes)) // 4 + 4
     rows, out_bytes, needs = fusedpack.pack_stuff_fused(
         jnp.asarray(bits), jnp.asarray(lens), rst,
-        l0=0, z_cap=64, w_out=w_out, interpret=True)
+        l0=0, z_cap=128, w_out=w_out, interpret=True)
+    assert fusedpack.needs_ok(np.asarray(needs), 0, 128, w_out)
     assert np.array_equal(np.asarray(out_bytes), ref_bytes)
     assert to_bytes(np.asarray(rows), np.asarray(out_bytes)) == \
         to_bytes(ref_rows, ref_bytes)
+
+
+@pytest.mark.parametrize("T,density,max_len", [
+    (64, 0.4, 12),
+    (128, 0.3, 14),
+    (96, 0.25, 10),
+])
+def test_fused_pre_matches_xla(rng, T, density, max_len):
+    """Pre-merged (tokenizer pairs mode) input path: byte-identical."""
+    R = 9
+    bits, lens = random_tokens(rng, R, T, max_len=max_len, density=density)
+    rst = np.where(np.arange(R) % 3 != 2,
+                   0xD0 + (np.arange(R) % 8), 0).astype(np.uint32)
+    ref_rows, ref_bytes = xla_reference(bits, lens, rst, T)
+
+    # emulate tokens.tokenize_rows pairs=True on raw (bits, lens)
+    l32 = lens.astype(np.int32)
+    x = np.where(l32 > 0,
+                 (bits.astype(np.uint64)
+                  << (32 - np.clip(l32, 1, 31)).astype(np.uint64))
+                 & np.uint64(0xFFFFFFFF),
+                 np.uint64(0)).astype(np.uint32)
+    a, b = x[:, 0::2], x[:, 1::2]
+    la, lb = l32[:, 0::2], l32[:, 1::2]
+    merged = a | (b >> np.clip(la, 0, 31).astype(np.uint32))
+    mlen = la + lb
+    assert mlen.max() <= 32, "test content must fit level-1 pairs"
+
+    w_out = int(np.max(ref_bytes)) // 4 + 4
+    rows, out_bytes, needs = fusedpack.pack_stuff_fused_pre(
+        jnp.asarray(merged), jnp.asarray(mlen), rst,
+        z_cap=64, w_out=w_out, interpret=True)
+    rows, out_bytes = np.asarray(rows), np.asarray(out_bytes)
+    assert fusedpack.needs_ok(np.asarray(needs), 1, 64, w_out)
+    assert np.array_equal(out_bytes, ref_bytes)
+    assert to_bytes(rows, out_bytes) == to_bytes(ref_rows, ref_bytes)
+
+
+def test_encoder_fused_interpret_byte_identical(rng, monkeypatch):
+    """End-to-end Encoder with the fused path (interpret) must emit the
+    exact bytes of the XLA merge-tree path, including the pairs-mode
+    tokenizer (l0=1) wiring."""
+    from gpujpeg_tpu import Encoder, Parameters
+
+    img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    param = Parameters(quality=75, restart_interval=2)
+
+    monkeypatch.setenv("GPUJPEG_TPU_FUSED", "0")
+    ref = Encoder().encode(img, param)
+
+    monkeypatch.setenv("GPUJPEG_TPU_FUSED", "interpret")
+    enc = Encoder()
+    out = enc.encode(img, param)
+    caps = next(iter(enc._caps.values()))
+    assert caps.l0 == 1, "expected the pairs-mode fused path"
+    assert out == ref
 
 
 def test_needs_flag_overflow(rng):
