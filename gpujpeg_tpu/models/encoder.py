@@ -116,17 +116,27 @@ class AggregateStats:
 
 
 @functools.lru_cache(maxsize=32)
-def _component_luts(quality: int):
-    """Quant tables + per-class Huffman code tables in tokenizer layout."""
+def _component_luts(quality: int, family: str = "tuned"):
+    """Quant tables + per-class Huffman code tables in tokenizer layout.
+
+    Returns (qtabs, dc_luts, ac_luts, ac_affine): ac_affine is the per
+    -class tables.affine_ac_runtime() constants for the tuned computable
+    family (None entries for annexk — tokenizer falls back to the dense
+    256-entry select chain)."""
     qtabs = [tables.quant_table_zz(True, quality),
              tables.quant_table_zz(False, quality)]
-    dc, ac = [], []
+    dc, ac, aff = [], [], []
     for luma in (True, False):
         dc.append(tables.huffman_encode_lut(
             *tables.huffman_spec_for("dc", luma), 16)[:12])
         ac.append(tables.huffman_encode_lut(
-            *tables.huffman_spec_for("ac", luma), 256).reshape(16, 16))
-    return qtabs, dc, ac
+            *tables.ac_spec(luma, quality, family), 256).reshape(16, 16))
+        if family == "tuned":
+            aff.append(tables.affine_ac_runtime(
+                *tables.affine_params_for_quality(quality, luma)))
+        else:
+            aff.append(None)
+    return qtabs, dc, ac, aff
 
 
 def apply_pre_transform(raw, pre):
@@ -160,7 +170,8 @@ def make_rows_tokens_impl(geo: Geometry, pre=None, pairs: bool = False):
 
     pairs=True emits level-1 pre-merged (nseg, T/2) left-aligned words
     (tokens.tokenize_rows pairs mode) for the fused Pallas packer."""
-    qtabs, dc_luts, ac_luts = _component_luts(geo.param.quality)
+    qtabs, dc_luts, ac_luts, ac_affine = _component_luts(
+        geo.param.quality, getattr(geo.param, "huffman_tables", "tuned"))
     tpb = 32 if pairs else 64   # emitted slots per block
 
     if not geo.interleaved:
@@ -185,7 +196,8 @@ def make_rows_tokens_impl(geo: Geometry, pre=None, pairs: bool = False):
                     blocks = jnp.pad(blocks, ((0, padB), (0, 0)))
                 rows = blocks.reshape(S, rst, 64)
                 b, l = tokens.tokenize_rows(rows, dc_luts[ti], ac_luts[ti],
-                                            valids[c.index], pairs=pairs)
+                                            valids[c.index], pairs=pairs,
+                                            ac_affine=ac_affine[ti])
                 bits_list.append(b)
                 lens_list.append(l)
             return (jnp.concatenate(bits_list, axis=0),
@@ -215,7 +227,8 @@ def make_rows_tokens_impl(geo: Geometry, pre=None, pairs: bool = False):
                 rows = x.reshape(S, rst * bpm_c, 64)
                 vm = np.repeat(mcu_valid, bpm_c, axis=1)
                 b, l = tokens.tokenize_rows(rows, dc_luts[ti], ac_luts[ti],
-                                            vm, pairs=pairs)
+                                            vm, pairs=pairs,
+                                            ac_affine=ac_affine[ti])
                 # (S, rst*bpm_c*tpb) -> (S, rst, bpm_c*tpb) to interleave
                 per_comp.append((b.reshape(S, rst, bpm_c * tpb),
                                  l.reshape(S, rst, bpm_c * tpb)))

@@ -27,7 +27,8 @@ import numpy as np
 
 
 def tokenize_rows(coefs: jnp.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray,
-                  valid: np.ndarray | None = None, pairs: bool = False):
+                  valid: np.ndarray | None = None, pairs: bool = False,
+                  ac_affine=None):
     """Huffman-tokenize segment rows of blocks, gather-free.
 
     XLA gathers cost ~10 ns/element on TPU, but gathers from <=16-entry
@@ -51,6 +52,12 @@ def tokenize_rows(coefs: jnp.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray,
     (x2, l2): (S, B*32) uint32 left-aligned merged words / int32 merged
     bit lengths (<= 54; the caller must verify max(l2) <= 32 via the
     needs protocol).  Halves the HBM traffic of the token arrays.
+
+    ac_affine: optional tables.affine_ac_runtime() constants for the
+    tuned computable code family — replaces the 256-entry select chain
+    (~270 vector ops/coefficient) with 3 16-entry lookups + arithmetic
+    (~70 ops), the dominant encode-cost reduction on TPU.  When set,
+    ac_lut is ignored.
     """
     S, B, _ = coefs.shape
     v = coefs.astype(jnp.int16)
@@ -88,12 +95,31 @@ def tokenize_rows(coefs: jnp.ndarray, dc_lut: np.ndarray, ac_lut: np.ndarray,
                       jnp.where(is_zrl, jnp.int16(15), jnp.int16(0)))
     size16 = jnp.where(is_code, size, jnp.int16(0))
 
-    # AC entry via 16 free 16-entry gathers + select chain over the run
-    ac_rows = np.asarray(ac_lut, np.uint32)
-    entry = jnp.zeros((S, B, 64), jnp.uint32)
-    for r in range(16):
-        cand = jnp.asarray(ac_rows[r])[size16]
-        entry = jnp.where(run16 == r, cand, entry)
+    if ac_affine is not None:
+        # computable canonical code (tables.affine_ac_runtime): run-0 is
+        # one exact 16-entry lookup; runs >= 1 are arithmetic on two more
+        t0, rt, al, eob_e, zrl_e = ac_affine
+        t0e = jnp.asarray(np.asarray(t0, np.uint32))[size16]
+        rte = jnp.asarray(np.asarray(rt, np.int32))[run16]
+        rl = (rte >> 20) & 0x1F
+        bB = rte & 0xFFFFF
+        l = rl + size16.astype(jnp.int32)
+        a = jnp.asarray(np.asarray(al, np.int32))[
+            jnp.clip(l, 0, 15).astype(jnp.int16)]
+        code_a = jnp.where(l >= 16, bB + size16, a + run16)
+        len_a = jnp.minimum(l, 16)
+        entry = jnp.where(
+            run16 == 0, t0e,
+            (len_a.astype(jnp.uint32) << 16) | code_a.astype(jnp.uint32))
+        entry = jnp.where(is_zrl, jnp.uint32(zrl_e), entry)
+        entry = jnp.where(is_eob, jnp.uint32(eob_e), entry)
+    else:
+        # AC entry via 16 free 16-entry gathers + select chain over the run
+        ac_rows = np.asarray(ac_lut, np.uint32)
+        entry = jnp.zeros((S, B, 64), jnp.uint32)
+        for r in range(16):
+            cand = jnp.asarray(ac_rows[r])[size16]
+            entry = jnp.where(run16 == r, cand, entry)
     dc_entry = jnp.asarray(np.asarray(dc_lut, np.uint32))[
         jnp.minimum(size[:, :, 0], 11).astype(jnp.int16)]
     entry = jnp.concatenate([dc_entry[:, :, None], entry[:, :, 1:]], axis=2)

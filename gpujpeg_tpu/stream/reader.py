@@ -61,7 +61,12 @@ class ParsedStream:
 
 
 def _u16(data: bytes, off: int) -> int:
-    return struct.unpack_from(">H", data, off)[0]
+    try:
+        return struct.unpack_from(">H", data, off)[0]
+    except struct.error as e:
+        raise CorruptStreamError(
+            f"truncated stream: need 2 bytes at {off}, have "
+            f"{len(data) - off}") from e
 
 
 def _deduce_color_space(ps: ParsedStream) -> None:

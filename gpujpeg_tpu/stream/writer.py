@@ -217,7 +217,9 @@ def write_header(geo: Geometry,
     for c in geo.components:
         if c.table_index not in emitted:
             bits_dc, vals_dc = tables.huffman_spec_for("dc", c.is_luma)
-            bits_ac, vals_ac = tables.huffman_spec_for("ac", c.is_luma)
+            bits_ac, vals_ac = tables.ac_spec(
+                c.is_luma, param.quality,
+                getattr(param, "huffman_tables", "tuned"))
             write_dht(w, 0, c.table_index, bits_dc, vals_dc)
             write_dht(w, 1, c.table_index, bits_ac, vals_ac)
             emitted.add(c.table_index)

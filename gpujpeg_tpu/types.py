@@ -168,6 +168,12 @@ class Parameters:
     header_type: HeaderType = HeaderType.DEFAULT
     verbose: int = 0
     perf_stats: bool = False
+    #: AC Huffman table family: 'tuned' = per-quality computable canonical
+    #: tables (smaller streams AND the fast arithmetic tokenizer path;
+    #: utils/tables.py AFFINE_AC_PARAMS), 'annexk' = the T.81 Annex-K
+    #: defaults the reference always uses (gpujpeg_table.c:189-256).
+    #: Either family produces standard baseline JPEG (tables ride in DHT).
+    huffman_tables: str = "tuned"
 
     def with_(self, **kw) -> "Parameters":
         return dataclasses.replace(self, **kw)

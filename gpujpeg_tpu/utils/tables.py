@@ -306,3 +306,163 @@ def min_code_length(bits: np.ndarray) -> int:
         if bits[l] > 0:
             return l
     return 16
+
+
+# --- Tuned computable AC tables (the "tuned" family) ---------------------------
+#
+# The reference encodes AC symbols through a 256-entry LUT
+# (gpujpeg_huffman_gpu_encoder.cu:956-969) — a single shared-memory gather
+# on a GPU, but ~256 vector selects per coefficient on a TPU (the dominant
+# encode cost).  The TPU-native answer is to make the CODE computable: we
+# emit custom canonical Huffman tables whose AC code lengths follow
+#
+#     run  0    : len = l0[size]                    (free, exact lookup)
+#     run >= 1  : len = min(16, r_len[run] + size)  (affine in size)
+#
+# with r_len monotone nondecreasing over runs 1..15, plus free-standing
+# EOB and ZRL lengths.  With symbols canonically ordered (within a length
+# class: EOB, ZRL, run-0 by size, then (run, size) ascending), the code
+# VALUE for runs >= 1 collapses to arithmetic on two 16-entry lookups:
+#
+#     l < 16 :  code = A[l]   + run        (A per length class)
+#     l >= 16:  code = B[run] + size       (B per run, class-16 ranks)
+#
+# and run 0 is one 16-entry lookup on size.  ~70 vector ops per
+# coefficient instead of ~270 for the dense 256-entry select chain.
+#
+# Parameters are tuned per quality bucket (tools/design_tables.py:
+# package-merge over the 27 entities, isotonic projection, greedy polish)
+# on a mixed photographic+synthetic corpus; on held-out content the tuned
+# tables BEAT Annex-K compressed size at almost every quality (up to -34%
+# at Q10, -3% at Q100; worst case +1.2% at Q90 luma) — the per-quality
+# fit matters more than the affine restriction loses.  The resulting
+# (bits, values) arrays are ordinary DHT payloads: any JPEG decoder
+# interoperates.  The Kraft budget reserves the all-ones code (T.81
+# F.1.2.3 padding safety, like libjpeg's dummy-symbol trick).
+
+#: {(quality_bucket, 'luma'|'chroma'): (r_len[16], l0[10], len_eob,
+#: len_zrl)} — trained by tools/design_tables.py; regenerate there
+AFFINE_AC_PARAMS = {
+    (10, "chroma"): ([1, 3, 5, 5, 7, 7, 8, 8, 8, 9, 10, 10, 10, 12, 14,
+                      14], [3, 4, 5, 5, 6, 7, 8, 10, 11, 12], 1, 11),
+    (10, "luma"): ([1, 3, 4, 5, 7, 7, 7, 9, 10, 11, 11, 11, 12, 12, 14,
+                    14], [3, 4, 5, 6, 7, 7, 9, 12, 15, 15], 1, 13),
+    (25, "chroma"): ([1, 3, 5, 6, 7, 8, 8, 9, 10, 11, 12, 12, 12, 12, 14,
+                      14], [2, 5, 7, 7, 8, 8, 9, 12, 12, 14], 1, 12),
+    (25, "luma"): ([1, 3, 4, 5, 6, 7, 7, 9, 9, 10, 10, 10, 10, 10, 11,
+                    13], [2, 3, 4, 5, 6, 8, 10, 11, 14, 14], 2, 11),
+    (50, "chroma"): ([1, 3, 4, 4, 6, 7, 8, 8, 9, 10, 10, 10, 10, 12, 16,
+                      16], [2, 3, 4, 7, 7, 8, 8, 11, 12, 14], 2, 11),
+    (50, "luma"): ([1, 3, 4, 5, 6, 7, 7, 7, 8, 8, 9, 10, 11, 11, 14, 16],
+                   [2, 3, 4, 5, 7, 9, 10, 12, 14, 14], 2, 12),
+    (75, "chroma"): ([1, 3, 5, 6, 7, 8, 8, 9, 9, 10, 10, 10, 10, 11, 12,
+                      16], [2, 3, 3, 5, 7, 8, 9, 11, 13, 13], 2, 7),
+    (75, "luma"): ([1, 3, 4, 5, 6, 6, 7, 7, 8, 8, 9, 9, 9, 9, 10, 12],
+                   [2, 3, 3, 4, 6, 8, 9, 12, 12, 13], 3, 7),
+    (90, "chroma"): ([1, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 8, 9, 9, 9],
+                     [2, 3, 4, 5, 6, 8, 10, 11, 12, 12], 3, 7),
+    (90, "luma"): ([1, 3, 4, 4, 5, 6, 7, 7, 8, 8, 9, 10, 10, 10, 11, 13],
+                   [2, 3, 3, 4, 5, 6, 10, 11, 13, 13], 4, 11),
+    (95, "chroma"): ([1, 2, 4, 5, 6, 7, 7, 8, 9, 10, 10, 10, 10, 11, 13,
+                      16], [2, 3, 5, 5, 5, 6, 9, 11, 11, 13], 3, 9),
+    (95, "luma"): ([1, 3, 4, 5, 6, 7, 8, 9, 9, 9, 9, 11, 11, 11, 12, 16],
+                   [2, 2, 4, 4, 5, 6, 7, 11, 12, 13], 4, 10),
+    (100, "chroma"): ([1, 3, 4, 5, 6, 7, 8, 8, 9, 10, 11, 11, 11, 16, 16,
+                       16], [2, 3, 3, 3, 5, 6, 7, 11, 12, 13], 4, 9),
+    (100, "luma"): ([1, 3, 5, 6, 7, 8, 9, 9, 11, 11, 12, 16, 16, 16, 16,
+                     16], [2, 2, 3, 3, 5, 7, 8, 11, 12, 14], 6, 10),
+}
+
+
+def affine_ac_spec(r_len, l0, len_eob: int, len_zrl: int):
+    """DHT (bits, values) for the hybrid computable code.
+
+    Canonical order: by code length; within a class EOB first, then ZRL,
+    then run-0 symbols by size, then (run, size) ascending — exactly the
+    order the runtime rank formulas assume (see affine_ac_runtime).
+    """
+    r_len = [int(x) for x in r_len]
+    l0 = [int(x) for x in l0]
+    assert all(r_len[i] <= r_len[i + 1] for i in range(1, 15)), \
+        "r_len[1:] must be monotone nondecreasing"
+    syms = [(int(len_eob), (-2, 0), 0x00), (int(len_zrl), (-1, 0), 0xF0)]
+    for s in range(1, 11):
+        syms.append((l0[s - 1], (0, s), s))
+    for r in range(1, 16):
+        for s in range(1, 11):
+            syms.append((min(16, r_len[r] + s), (r, s), (r << 4) | s))
+    syms.sort(key=lambda t: (t[0], t[1]))
+    bits = np.zeros(17, np.int32)
+    values = np.zeros(len(syms), np.int32)
+    for i, (l, _, v) in enumerate(syms):
+        bits[l] += 1
+        values[i] = v
+    # all-ones code must stay unused (padding-bit safety)
+    kraft = sum(int(bits[l]) << (16 - l) for l in range(1, 17))
+    assert kraft <= (1 << 16) - 1, "Kraft budget exceeds all-ones reserve"
+    return bits, values
+
+
+def affine_ac_runtime(r_len, l0, len_eob: int, len_zrl: int):
+    """Packed runtime constants for the arithmetic AC entry computation.
+
+    Returns (t0, rt, al, eob_entry, zrl_entry):
+      t0:  (16,) uint32 run-0 entries (len << 16 | code) indexed by size
+      rt:  (16,) uint32 per run >= 1: (r_len << 20) | B[run]  (B = class-16
+           code base: code = B + size when r_len[run] + size >= 16)
+      al:  (16,) int32 per length l < 16: code = A[l] + run
+      eob_entry/zrl_entry: uint32 (len << 16) | code
+
+    Derived FROM the canonical LUT and cross-checked entry by entry, so a
+    violated ordering assumption fails loudly at table-build time.
+    """
+    bits, values = affine_ac_spec(r_len, l0, len_eob, len_zrl)
+    lut = huffman_encode_lut(bits, values, 256)
+    t0 = np.zeros(16, np.uint32)
+    for s in range(1, 11):
+        t0[s] = lut[s]
+    al = np.zeros(16, np.int64)
+    used_l = np.zeros(16, bool)
+    bb = np.zeros(16, np.int64)
+    used_b = np.zeros(16, bool)
+    for r in range(1, 16):
+        for s in range(1, 11):
+            l = int(r_len[r]) + s
+            entry = int(lut[(r << 4) | s])
+            code = entry & 0xFFFF
+            assert (entry >> 16) == min(16, l), ((r, s), entry >> 16, l)
+            if l < 16:
+                a = code - r
+                if used_l[l]:
+                    assert al[l] == a, ("A mismatch", l, r, s)
+                else:
+                    al[l], used_l[l] = a, True
+            else:
+                b = code - s
+                if used_b[r]:
+                    assert bb[r] == b, ("B mismatch", r, s)
+                else:
+                    bb[r], used_b[r] = b, True
+    assert np.all(bb >= 0) and np.all(bb < (1 << 20))
+    rln = np.asarray(r_len, np.uint32)
+    rln[0] = 0
+    rt = (rln << 20) | bb.astype(np.uint32)
+    return (t0, rt.astype(np.uint32), al.astype(np.int32),
+            np.uint32(lut[0x00]), np.uint32(lut[0xF0]))
+
+
+def affine_params_for_quality(quality: int, luma: bool):
+    """Nearest trained bucket's (r_len, l0, len_eob, len_zrl)."""
+    kind = "luma" if luma else "chroma"
+    qs = sorted({q for (q, k) in AFFINE_AC_PARAMS if k == kind})
+    qb = min(qs, key=lambda q: (abs(q - quality), q))
+    return AFFINE_AC_PARAMS[(qb, kind)]
+
+
+def ac_spec(luma: bool, quality: int, family: str = "tuned"):
+    """(bits, values) for the AC table of the given family."""
+    if family == "annexk":
+        return huffman_spec_for("ac", luma)
+    if family == "tuned":
+        return affine_ac_spec(*affine_params_for_quality(quality, luma))
+    raise ValueError(family)

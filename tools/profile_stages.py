@@ -58,7 +58,7 @@ def main():
           f"T={enc_mod.token_slots(geo)}", file=sys.stderr)
 
     tokens_impl = enc_mod.make_rows_tokens_impl(geo)
-    qtabs, dc_luts, ac_luts = enc_mod._component_luts(geo.param.quality)
+    qtabs, dc_luts, ac_luts, _aff = enc_mod._component_luts(geo.param.quality)
 
     def predct(raw):
         planes = sample.preprocess(raw, geo, geo.param_image)
