@@ -279,6 +279,150 @@ class FusedCaps:
         return self.n_levels + 2
 
 
+@dataclasses.dataclass(frozen=True)
+class MegaCaps:
+    """Sticky capacities for the tokenizing entropy megakernel
+    (ops/fusedpack.entropy_fused): the merge tree starts from one leaf
+    per coefficient slot (capacity = worst case, so token-density
+    overflows are impossible); `compact` lists levels after which buffer
+    capacity halves (density-adaptive, derived from realized needs —
+    needs are exact regardless of schedule since bit-lengths are pure
+    arithmetic)."""
+
+    z_cap: int
+    w_out: int
+    compact: Tuple[int, ...]
+    n_levels: int    # D = log2(padded coefficient slots per row)
+
+    @property
+    def n_needs(self) -> int:
+        return self.n_levels + 2
+
+
+def mega_geometry(geo: Geometry) -> Tuple[int, int]:
+    """(C2, D): padded coefficient slots per segment row and tree depth."""
+    from ..ops import fusedpack
+
+    C2 = fusedpack.pow2_ge(max(token_slots(geo), 64))
+    return C2, C2.bit_length() - 1
+
+
+def derive_mega_schedule(needs, C2: int, w_words: int,
+                         margin: float = 1.25) -> Tuple[int, ...]:
+    """Most aggressive legal compaction schedule for the realized
+    per-level maxima: compact after level d (k prior compactions) iff the
+    content fits half the current span with margin, and the final
+    capacity stays >= the realized row size."""
+    D = C2.bit_length() - 1
+    sched = []
+    k = 0
+    for d in range(1, D + 1):
+        if (C2 >> (k + 1)) < w_words:
+            break
+        if int(needs[d - 1]) * margin <= float(32 << (d - k - 1)):
+            sched.append(d)
+            k += 1
+    return tuple(sched)
+
+
+def initial_mega_caps(geo: Geometry,
+                      bits_per_token: float = 6.0) -> MegaCaps:
+    C2, D = mega_geometry(geo)
+    T = token_slots(geo)
+    z_cap = 16
+    w_est = -(-int(T * max(bits_per_token + 3.0, 9.0)) // 32)
+    # conservative start (pairs-fit density, like the fused path's l0=1);
+    # the first legal frame's needs derive a tighter schedule
+    sched = (1,) if D >= 1 else ()
+    w_out = min(C2 >> len(sched), w_est) + (z_cap + 2 + 3) // 4 + 1
+    return MegaCaps(z_cap=z_cap, w_out=w_out, compact=sched, n_levels=D)
+
+
+def mega_caps_ok(geo: Geometry, caps: MegaCaps, needs: np.ndarray) -> bool:
+    C2, D = mega_geometry(geo)
+    k = 0
+    for d in sorted(caps.compact):
+        if int(needs[d - 1]) > 32 << (d - k - 1):
+            return False
+        k += 1
+    if int(needs[D - 1]) > 32 * (C2 >> k):
+        return False
+    return (int(needs[-2]) <= caps.z_cap
+            and int(needs[-1]) <= 4 * caps.w_out)
+
+
+def grown_mega_caps(geo: Geometry, caps: MegaCaps,
+                    needs: np.ndarray) -> MegaCaps:
+    """Re-derive schedule + grow z/w caps from realized needs.  Level
+    needs are exact even on overflowing runs (bit-lengths are arithmetic,
+    never storage-dependent), so the schedule converges in one step;
+    z/bytes needs may take another iteration if words were garbage."""
+    C2, D = mega_geometry(geo)
+    z_cap = max(caps.z_cap, int(needs[-2]) + 4)
+    w_need = -(-int(needs[-1]) // 4) + 2
+    w_words = max(-(-int(needs[D - 1]) // 32), w_need)
+    sched = derive_mega_schedule(needs[:D], C2, w_words)
+    w_out = max(caps.w_out, min(int(w_need * 1.15),
+                                (C2 >> len(sched))
+                                + (z_cap + 2 + 3) // 4 + 1))
+    w_out = max(w_out, w_need)
+    return MegaCaps(z_cap=z_cap, w_out=w_out, compact=sched, n_levels=D)
+
+
+def mega_supported(geo: Geometry) -> bool:
+    """The megakernel handles non-interleaved scans with <= 2 table
+    classes, uniform restart geometry, and the tuned (computable) code
+    family; everything else uses the pairs tokenizer + deep kernel."""
+    return (not geo.interleaved
+            and getattr(geo.param, "huffman_tables", "tuned") == "tuned"
+            and all(c.table_index <= 1 for c in geo.components)
+            and len({c.segment_mcu_count for c in geo.components}) == 1)
+
+
+def mega_mode() -> bool:
+    import os
+
+    return os.environ.get("GPUJPEG_TPU_MEGA", "1") != "0"
+
+
+def make_rows_coefs_impl(geo: Geometry, pre=None):
+    """raw -> (coefs_t (C0, R) int16, valid_t (B, R) i32, luma_t (1, R)
+    i32): TRANSPOSED per-segment-row coefficient planes for the entropy
+    megakernel (non-interleaved scans; sublanes = blocks-in-stream-order
+    x zig-zag, lanes = segment rows across all scans)."""
+    assert not geo.interleaved
+    quality = geo.param.quality
+    qtabs = [tables.quant_table_zz(True, quality),
+             tables.quant_table_zz(False, quality)]
+    valids, lumas = [], []
+    for c in geo.components:
+        rst = c.segment_mcu_count
+        S = c.segment_count
+        vm = (np.arange(S * rst).reshape(S, rst) < c.mcu_count)
+        valids.append(vm.T.astype(np.int32))
+        lumas.append(np.full((1, S), 1 if c.table_index == 0 else 0,
+                             np.int32))
+    valid_t = np.concatenate(valids, axis=1)
+    luma_t = np.concatenate(lumas, axis=1)
+
+    def fn(raw):
+        raw = apply_pre_transform(raw, pre)
+        planes = sample.preprocess(raw, geo, geo.param_image)
+        cols = []
+        for c in geo.components:
+            blocks = dct.fdct_quantize(planes[c.index],
+                                       qtabs[c.table_index])
+            rst = c.segment_mcu_count
+            S = c.segment_count
+            padB = S * rst - c.mcu_count
+            if padB:
+                blocks = jnp.pad(blocks, ((0, padB), (0, 0)))
+            cols.append(blocks.reshape(S, rst * 64).T)
+        return jnp.concatenate(cols, axis=1), valid_t, luma_t
+
+    return fn
+
+
 def initial_fused_caps(geo: Geometry,
                        bits_per_token: float = 6.0) -> FusedCaps:
     from ..ops import fusedpack
@@ -376,15 +520,37 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
     scan_first = geo.scan_seg_bounds[:-1].astype(np.int32)
     scan_last = (geo.scan_seg_bounds[1:] - 1).astype(np.int32)
 
+    mega = isinstance(caps, MegaCaps)
     fused = isinstance(caps, FusedCaps)
     pairs = bool(fused and caps.l0 == 1)
-    tokens_impl = make_rows_tokens_impl(geo, pre, pairs=pairs)
+    if mega:
+        from ..ops import fusedpack
+
+        interp = fused_mode() == "interpret"
+        coefs_impl = make_rows_coefs_impl(geo, pre)
+        consts = tables.entropy_kernel_consts(geo.param.quality)
+    else:
+        tokens_impl = make_rows_tokens_impl(geo, pre, pairs=pairs)
     if fused:
         from ..ops import fusedpack
 
         interp = fused_mode() == "interpret"
 
     def fn(raw):
+        if mega:
+            coefs_t, valid_t, luma_t = coefs_impl(raw)
+            rows, out_bytes, needs = fusedpack.entropy_fused(
+                coefs_t, jnp.asarray(valid_t), jnp.asarray(luma_t),
+                geo.rst_marker, z_cap=caps.z_cap, w_out=caps.w_out,
+                consts=consts, interpret=interp,
+                compact_after=caps.compact)
+            cs = jnp.cumsum(out_bytes)
+            scan_start = (cs - out_bytes)[jnp.asarray(scan_first)]
+            scan_end = cs[jnp.asarray(scan_last)]
+            meta = jnp.concatenate([
+                needs, scan_start, scan_end, cs[-1:],
+            ]).astype(jnp.int32)
+            return {"rows": rows, "row_bytes": out_bytes, "meta": meta}
         bits, lens = tokens_impl(raw)
         if fused:
             if pairs:
@@ -413,6 +579,15 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
 
     fn._n_needs = caps.n_needs
     return fn
+
+
+def _initial_caps_for(geo: Geometry):
+    mode = fused_mode()
+    if mode == "off":
+        return initial_caps(geo)
+    if mega_mode() and mega_supported(geo):
+        return initial_mega_caps(geo)
+    return initial_fused_caps(geo)
 
 
 class Encoder:
@@ -515,8 +690,7 @@ class Encoder:
         geo = get_geometry(param, param_image)
         caps = self._caps.get(geo)
         if caps is None:
-            caps = (initial_fused_caps(geo) if fused_mode() != "off"
-                    else initial_caps(geo))
+            caps = _initial_caps_for(geo)
             self._caps[geo] = caps
         fn = self._get_fn(geo, caps)
         pf, h, w = param_image.pixel_format, param_image.height, \
@@ -595,8 +769,7 @@ class Encoder:
         geo = self.resolve(image, param, param_image)
         caps = self._caps.get(geo)
         if caps is None:
-            caps = (initial_fused_caps(geo) if fused_mode() != "off"
-                    else initial_caps(geo))
+            caps = _initial_caps_for(geo)
             self._caps[geo] = caps
         x = jnp.asarray(image)
 
@@ -612,7 +785,29 @@ class Encoder:
             meta = np.asarray(res["meta"])
             nn = fn._n_needs
             needs = meta[:nn]
-            if isinstance(caps, FusedCaps):
+            if isinstance(caps, MegaCaps):
+                from ..ops import fusedpack
+
+                if mega_caps_ok(geo, caps, needs):
+                    # one-time tightening: the first legal frame's exact
+                    # level maxima may admit a more aggressive schedule
+                    w_need = -(-int(needs[-1]) // 4) + 2
+                    C2, D = mega_geometry(geo)
+                    best = derive_mega_schedule(needs[:D], C2, w_need)
+                    if len(best) > len(caps.compact) \
+                            and not getattr(self, "_mega_tight", {}) \
+                            .get(geo):
+                        self._mega_tight = getattr(self, "_mega_tight", {})
+                        self._mega_tight[geo] = True
+                        caps = dataclasses.replace(caps, compact=best)
+                        self._caps[geo] = caps
+                        continue
+                    return geo, res, meta
+                if int(needs[-2]) > 250:
+                    caps = initial_caps(geo)
+                else:
+                    caps = grown_mega_caps(geo, caps, needs)
+            elif isinstance(caps, FusedCaps):
                 from ..ops import fusedpack
 
                 if fusedpack.needs_ok(needs, caps.l0, caps.z_cap,

@@ -96,15 +96,40 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
                             W_stuff: int, z_cap: int):
     x = w_ref[:, :]                       # (N0, R) u32 left-aligned words
     blen = l_ref[:, :]                    # (N0, R) i32, one buffer per sublane
+    rst = rst_ref[0:1, :].astype(jnp.uint32)
+    out, out_bytes, needs_vals = _tree_pad_stuff(
+        x, blen, rst, N0=N0, D=D, W_stuff=W_stuff, z_cap=z_cap)
+    out_ref[:, :] = out[:W_out]
+    ob_ref[:, :] = out_bytes
+    _write_needs(needs_ref, needs_vals)
+
+
+def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
+                    z_cap: int, compact_after=()):
+    """Shared VMEM back-end: in-place span-doubling merge tree over (N0, R)
+    left-aligned word buffers, F.1.2.3 padding, byte stuffing, RST append.
+
+    compact_after: levels after which buffer capacity is HALVED by taking
+    the lower half of every span (content must fit — the recorded level
+    need <= 16 * span_words guarantees it; the host's sticky-caps protocol
+    enforces that via mega_needs_ok).  Each compaction halves the array
+    and therefore the cost of every later level — the density-adaptive
+    counterpart of the XLA tree's l0 knob.
+
+    Returns (out (W_stuff, R) u32, out_bytes (1, R) i32, needs_vals list of
+    scalars: per-level max bits (D), max stuffed zeros, max output bytes)."""
     R = x.shape[1]
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (N0, R), 0)
     needs_vals = []
+    N = N0
+    lg = 0                                # log2 of current buffer span
 
     # ---- deep merge levels: span doubles each level, buffers stay put ----
     for d in range(1, D + 1):
-        half = 1 << (d - 1)
-        span = 1 << d
+        half = 1 << lg
+        span = half << 1
+
         second = (sub & half) != 0        # static: odd half of each span
 
         la = jnp.where(second, _roll(blen, half), blen)
@@ -119,12 +144,12 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
         # -half (slots [0, half)) followed by a log-step move UP by w;
         # steps whose bit exceeds the tile-wide max w are skipped at
         # runtime (lax.cond on the scalar) — on typical content w <= 2,
-        # so only 1-2 of the d steps execute.
+        # so only 1-2 of the steps execute.
         keep = (sub & (span - 1)) < half              # static
         b = jnp.where(keep, _roll(b, -half), jnp.uint32(0))
         w = la >> 5
         w_max = la_max >> 5
-        for j in range(d):
+        for j in range(lg + 1):
             step = 1 << j
 
             def _move(b=b, step=step, span=span, w=w):
@@ -142,15 +167,28 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
                           prev << ((jnp.uint32(32) - r) & 31))
         b = (b >> r) | carry
         x = jnp.where(second, jnp.uint32(0), x) | b
+        lg += 1
+
+        if d in compact_after and N > 8:
+            # drop the (all-zero when within capacity) upper half of every
+            # span; blen is span-replicated so the slice stays consistent
+            nbuf = N >> lg
+            x = x.reshape(nbuf, 1 << lg, R)[:, : 1 << (lg - 1), :] \
+                .reshape(N >> 1, R)
+            blen = blen.reshape(nbuf, 1 << lg, R)[:, : 1 << (lg - 1), :] \
+                .reshape(N >> 1, R)
+            N >>= 1
+            lg -= 1
+            sub = jax.lax.broadcasted_iota(jnp.int32, (N, R), 0)
 
     row_bits = blen[0:1, :]               # replicated; any sublane works
 
     # ---- trim to the stuffing working set ----
-    if W_stuff <= N0:
+    if W_stuff <= N:
         x = x[:W_stuff]
     else:
         x = jnp.concatenate(
-            [x, jnp.zeros((W_stuff - N0, R), jnp.uint32)], axis=0)
+            [x, jnp.zeros((W_stuff - N, R), jnp.uint32)], axis=0)
     ssub = jax.lax.broadcasted_iota(jnp.int32, (W_stuff, R), 0)
 
     # ---- F.1.2.3: OR 1-bits to the next byte boundary ----
@@ -226,7 +264,6 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
 
     # ---- restart marker (bytes beyond end are already zero) ----
     end = row_bytes + nff                 # (1, R)
-    rst = rst_ref[0:1, :].astype(jnp.uint32)
     has = rst != 0
     mlen = jnp.where(has, 2, 0)
     wi_e = end >> 2
@@ -238,10 +275,10 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
     out = out | jnp.where(has & (ssub == wi_e + 1), mk2, jnp.uint32(0))
     out_bytes = end + mlen
     needs_vals.append(jnp.max(out_bytes))
+    return out, out_bytes, needs_vals
 
-    out_ref[:, :] = out[:W_out]
-    ob_ref[:, :] = out_bytes
 
+def _write_needs(needs_ref, needs_vals):
     # needs: one (8, 128)-tile accumulator block shared by every grid step
     # (TPU grid steps run sequentially on the core) — value i in lane i
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -309,6 +346,229 @@ def make_deep_stuff_kernel(N0: int, D: int, W_out: int, z_cap: int,
         return out_t[:, :Rall], ob[0, :Rall], needs[0, : D + 2]
 
     return fn
+
+
+# --------------------------------------------------------------------------
+# Entropy megakernel: tokenize + merge tree + pad + stuff + RST in one
+# VMEM-resident kernel (VERDICT r1 item 1's endgame).  The XLA tokenizer
+# spreads ~14 fusions over HBM-sized intermediates (~18 ms at 8K); here the
+# (C, R_tile) coefficient tile is tokenized entirely in VMEM and handed
+# straight to the merge tree.  A side effect kills the capacity protocol's
+# hardest failure mode: with N0 = C (one leaf per coefficient slot) the
+# tree capacity IS the worst case, so token-density overflows cannot occur
+# (only w_out/z_cap remain, still covered by `needs`).
+#
+# Layout: sublanes = the C = blocks_per_seg * 64 coefficient slots of a
+# segment row (zig-zag within block, blocks in stream order), lanes =
+# segment rows.  All scans (zero-run, has-nonzero-after) are Hillis-Steele
+# sublane rolls masked to 64-slot block groups; the Huffman code is the
+# tuned computable family (tables.affine_ac_runtime) evaluated with
+# 16-step select chains whose candidates select luma/chroma constants per
+# LANE (luma_t mask), so mixed-component tiles cost nothing extra.
+# Matches gpujpeg_huffman_gpu_encoder.cu:299-502 (encode+serialize) in one
+# pass.
+# --------------------------------------------------------------------------
+
+def _entropy_kernel_body(c_ref, valid_ref, luma_ref, rst_ref, out_ref,
+                         ob_ref, needs_ref, *, C: int, B: int, D: int,
+                         W_out: int, W_stuff: int, z_cap: int, consts,
+                         compact_after=()):
+    v = c_ref[:, :].astype(jnp.int32)          # (C, R) coefficients
+    R = v.shape[1]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (C, R), 0)
+    zz = sub & 63                              # position within block
+    is_dc = zz == 0
+
+    # DC differential (F.1.1.5.1): predictor = previous block's DC in the
+    # same segment row; restart reset is automatic at row start
+    pred = jnp.where(sub >= 64, _roll(v, 64), 0)
+    v = jnp.where(is_dc, v - pred, v)
+
+    nz = v != 0
+    av = jnp.abs(v)
+    # bit-size category via the f32 exponent (exact for |v| < 2^24)
+    size = (pltpu.bitcast(av.astype(jnp.float32), jnp.int32) >> 23) - 126
+    size = jnp.maximum(size, 0)
+    vb = jnp.where(v < 0, v - 1, v) & ((1 << size) - 1)
+
+    # zero-run before each slot: cummax of nonzero positions per block
+    marker = jnp.where(nz | is_dc, zz, -1)
+    m = marker
+    for s in (1, 2, 4, 8, 16, 32):
+        m = jnp.where(zz >= s, jnp.maximum(m, _roll(m, s)), m)
+    lb = jnp.where(is_dc, 0, _roll(m, 1))      # last nonzero before slot
+    run = zz - lb - 1
+    zri = zz - lb                              # zeros up to & incl. slot
+    f = nz.astype(jnp.int32)
+    for s in (1, 2, 4, 8, 16, 32):
+        f = jnp.where(zz <= 63 - s, jnp.maximum(f, _roll(f, -s)), f)
+    has_after = jnp.where(zz == 63, 0, _roll(f, -1)) > 0
+
+    is_code = nz & ~is_dc
+    is_zrl = (~nz) & (~is_dc) & has_after & ((zri & 15) == 0)
+    is_eob = (~nz) & (zz == 63)
+
+    run16 = jnp.where(is_code, run & 15, jnp.where(is_zrl, 15, 0))
+    size16 = jnp.where(is_code, size, 0)
+
+    lum = luma_ref[0:1, :] != 0                # (1, R) per-lane class
+
+    def chain(idx, tl, tc, n):
+        e = jnp.zeros_like(idx)
+        for s in range(n):
+            cand = jnp.where(lum, jnp.int32(tl[s]), jnp.int32(tc[s]))
+            e = jnp.where(idx == s, cand, e)
+        return e
+
+    (t0L, rtL, alL, eobL, zrlL, dcL), (t0C, rtC, alC, eobC, zrlC, dcC) = \
+        consts
+    # affine AC entry (see tables.affine_ac_runtime / ops.tokens)
+    t0e = chain(size16, t0L, t0C, 16)
+    rte = chain(run16, rtL, rtC, 16)
+    rl = (rte >> 20) & 0x1F
+    bB = rte & 0xFFFFF
+    el = rl + size16
+    a = chain(jnp.clip(el, 0, 15), alL, alC, 16)
+    code_a = jnp.where(el >= 16, bB + size16, a + run16)
+    len_a = jnp.minimum(el, 16)
+    entry = jnp.where(run16 == 0, t0e, (len_a << 16) | code_a)
+    entry = jnp.where(
+        is_zrl, jnp.where(lum, jnp.int32(zrlL), jnp.int32(zrlC)), entry)
+    entry = jnp.where(
+        is_eob, jnp.where(lum, jnp.int32(eobL), jnp.int32(eobC)), entry)
+    dce = chain(jnp.minimum(size, 11), dcL, dcC, 12)
+    entry = jnp.where(is_dc, dce, entry)
+
+    clen = entry >> 16
+    code = entry & 0xFFFF
+    bits = ((code << size) | vb).astype(jnp.uint32)
+    lens = jnp.where(is_dc | is_code | is_zrl | is_eob, clen + size, 0)
+
+    # static per-block valid mask (B, R), broadcast over 64 coef slots
+    jb = sub >> 6
+    vmask = jnp.zeros((C, R), jnp.int32)
+    for j in range(B):
+        vmask = jnp.where(jb == j, valid_ref[j:j + 1, :], vmask)
+    lens = lens * vmask
+
+    x = jnp.where(lens > 0,
+                  bits << (32 - jnp.clip(lens, 1, 31)).astype(jnp.uint32),
+                  jnp.uint32(0))
+    rst = rst_ref[0:1, :].astype(jnp.uint32)
+    out, out_bytes, needs_vals = _tree_pad_stuff(
+        x, lens, rst, N0=C, D=D, W_stuff=W_stuff, z_cap=z_cap,
+        compact_after=compact_after)
+    out_ref[:, :] = out[:W_out]
+    ob_ref[:, :] = out_bytes
+    _write_needs(needs_ref, needs_vals)
+
+
+def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
+                        R_tile: int = 128, interpret: bool = False,
+                        compact_after=()):
+    """(coefs_t (C, Rp) i16, valid_t (B, Rp) i32, luma_t (1, Rp) i32,
+    rst (1, Rp) i32) -> (out_t (W_out, Rp) u32, out_bytes (1, Rp) i32,
+    needs (D+2,) i32).  C must be a power of two (pad with valid=0)."""
+    assert C & (C - 1) == 0 and C >= 64
+    D = C.bit_length() - 1
+    kernel = functools.partial(
+        _entropy_kernel_body, C=C, B=B, D=D, W_out=W_out, W_stuff=W_out,
+        z_cap=z_cap, consts=consts, compact_after=tuple(compact_after))
+
+    def fn(coefs_t, valid_t, luma_t, rst):
+        Rall = coefs_t.shape[1]
+        G = -(-Rall // R_tile)
+        Rp = G * R_tile
+        if Rp != Rall:
+            coefs_t = jnp.pad(coefs_t, ((0, 0), (0, Rp - Rall)))
+            valid_t = jnp.pad(valid_t, ((0, 0), (0, Rp - Rall)))
+            luma_t = jnp.pad(luma_t, ((0, 0), (0, Rp - Rall)))
+            rst = jnp.pad(rst, ((0, 0), (0, Rp - Rall)))
+        out_t, ob, needs = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((C, R_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, R_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((W_out, R_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, R_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((W_out, Rp), jnp.uint32),
+                jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+                jax.ShapeDtypeStruct((8, 128), jnp.int32),
+            ],
+            interpret=interpret,
+        )(coefs_t, valid_t, luma_t, rst)
+        return out_t[:, :Rall], ob[0, :Rall], needs[0, : D + 2]
+
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_entropy_kernel(C, W_out, z_cap, B, consts, R_tile, interpret,
+                           compact_after=()):
+    return make_entropy_kernel(C, W_out, z_cap, B, consts, R_tile,
+                               interpret, compact_after)
+
+
+def entropy_fused(coefs_t: jnp.ndarray, valid_t: jnp.ndarray,
+                  luma_t: jnp.ndarray, rst_marker, z_cap: int, w_out: int,
+                  consts, interpret: bool = False, compact_after=()):
+    """Full entropy stage from TRANSPOSED coefficients.
+
+    coefs_t: (C0, R) int16 — C0 = blocks_per_seg * 64 zig-zag quantized
+             coefficients per segment row (sublanes), R segment rows
+             (lanes); C0 is padded up to a power of two internally.
+    valid_t: (B0, R) int32 — 1 where block j of row r emits tokens.
+    luma_t:  (1, R) int32 — 1 where the row uses the luma table class.
+    rst_marker: (R,) host array, 0 = no restart marker after the row.
+    consts: tables.entropy_kernel_consts(quality).
+
+    Returns (rows (R, w_out) u32, out_bytes (R,) i32, needs (D+2,) i32);
+    needs[-2] must be <= z_cap and needs[-1] <= 4*w_out (mega_needs_ok) —
+    the merge-tree levels cannot overflow by construction.
+    """
+    C0, R = coefs_t.shape
+    C = pow2_ge(max(C0, 64))
+    B = C // 64
+    if C != C0:
+        coefs_t = jnp.pad(coefs_t, ((0, C - C0), (0, 0)))
+    if B != valid_t.shape[0]:
+        valid_t = jnp.pad(valid_t, ((0, B - valid_t.shape[0]), (0, 0)))
+    rst = jnp.asarray(rst_marker).astype(jnp.int32).reshape(1, R)
+    fn = _cached_entropy_kernel(C, w_out, z_cap, B, consts, 128, interpret,
+                                tuple(compact_after))
+    out_t, ob, needs = fn(coefs_t, valid_t, luma_t, rst)
+    return out_t.T, ob, needs
+
+
+def mega_needs_ok(needs: np.ndarray, z_cap: int, w_out: int,
+                  compact_after=()) -> bool:
+    """Host-side validation for entropy_fused.  Plain tree levels cannot
+    overflow (27 * 2^d < 32 * 2^d); COMPACTED levels can: after k prior
+    compactions, compacting at level d requires the level-d content to
+    fit half the current span, i.e. needs[d-1] <= 32 * 2^(d-k-1)."""
+    needs = np.asarray(needs)
+    k = 0
+    for d in sorted(compact_after):
+        if d <= len(needs) - 2:
+            if int(needs[d - 1]) > 32 << (d - k - 1):
+                return False
+        k += 1
+    return int(needs[-2]) <= z_cap and int(needs[-1]) <= 4 * w_out
 
 
 # --------------------------------------------------------------------------

@@ -459,6 +459,22 @@ def affine_params_for_quality(quality: int, luma: bool):
     return AFFINE_AC_PARAMS[(qb, kind)]
 
 
+def entropy_kernel_consts(quality: int):
+    """Hashable per-class constants for ops.fusedpack._entropy_kernel_body:
+    ((t0, rt, al, eob, zrl, dc12) for luma, same for chroma) — the tuned
+    affine AC runtime plus the 12-entry DC LUT, as plain int tuples so the
+    kernel cache can key on them."""
+    out = []
+    for luma in (True, False):
+        t0, rt, al, eob, zrl = affine_ac_runtime(
+            *affine_params_for_quality(quality, luma))
+        dc = huffman_encode_lut(*huffman_spec_for("dc", luma), 16)[:12]
+        out.append((tuple(int(x) for x in t0), tuple(int(x) for x in rt),
+                    tuple(int(x) for x in al), int(eob), int(zrl),
+                    tuple(int(x) for x in dc)))
+    return tuple(out)
+
+
 def ac_spec(luma: bool, quality: int, family: str = "tuned"):
     """(bits, values) for the AC table of the given family."""
     if family == "annexk":

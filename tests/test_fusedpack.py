@@ -141,6 +141,7 @@ def test_encoder_fused_interpret_byte_identical(rng, monkeypatch):
     ref = Encoder().encode(img, param)
 
     monkeypatch.setenv("GPUJPEG_TPU_FUSED", "interpret")
+    monkeypatch.setenv("GPUJPEG_TPU_MEGA", "0")
     enc = Encoder()
     out = enc.encode(img, param)
     caps = next(iter(enc._caps.values()))
