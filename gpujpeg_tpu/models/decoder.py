@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import dct, huffdec, huffdec2, sample
+from ..ops import dct, huffdec, huffdec2, huffdec_kernel, sample
 from ..stream import reader, segments as segprep
 from ..types import (ColorSpace, CorruptStreamError, ImageInfo,
                      ImageParameters, PixelFormat)
@@ -196,12 +196,32 @@ def _dc_fixup(coefs, comp_pattern: np.ndarray):
                             coefs[:, :, 1:]], axis=2)
 
 
+def deckernel_mode() -> str:
+    """Pallas phase-C block-decode kernel (ops/huffdec_kernel) mode:
+    'on' (default on TPU), 'off' (XLA while-loop; default on CPU), or
+    'interpret' (Pallas interpreter — tests only).  Override with
+    GPUJPEG_TPU_DECKERNEL=0/1/interpret."""
+    import os
+
+    v = os.environ.get("GPUJPEG_TPU_DECKERNEL", "")
+    if v == "0":
+        return "off"
+    if v == "interpret":
+        return "interpret"
+    if v == "1":
+        return "on"
+    try:
+        return "on" if jax.default_backend() not in ("cpu",) else "off"
+    except Exception:
+        return "off"
+
+
 class _StreamPlan:
     """Static decode plan for one (geometry, table-set) combination."""
 
     def __init__(self, geo: Geometry, dc_specs, ac_specs,
                  dc_luma_row: np.ndarray, ac_luma_row: np.ndarray,
-                 luma_patterns):
+                 luma_patterns, kernel_consts=None):
         self.geo = geo
         self.bps = geo.max_blocks_per_seg
         self.dc_specs = dc_specs
@@ -209,6 +229,10 @@ class _StreamPlan:
         self.dc_luma_row = dc_luma_row
         self.ac_luma_row = ac_luma_row
         self.luma_patterns = luma_patterns  # (dc_pat, ac_pat) or None
+        #: (ac_l, ac_c, dc_l, dc_c) decode-runtime constants when every
+        #: table is computable (tuned AC family + identity-huffval DC);
+        #: enables the Pallas block kernel
+        self.kernel_consts = kernel_consts
         max_steps = self.bps * 66 + 4
         self.scan_fn = huffdec2.make_scan_fn(
             dc_specs, ac_specs, self.bps, max_steps,
@@ -223,6 +247,33 @@ class _StreamPlan:
                                                max_steps=70)
             self.block_fn_cache[0] = fn
         return fn
+
+    def kernel_block_fn(self, K: int, interpret: bool):
+        """Pallas phase C for K-word block buffers, or None if not
+        applicable (foreign tables / oversized buffers)."""
+        if self.kernel_consts is None or K > 16:
+            return None
+        ac_l, ac_c, dc_l, dc_c = self.kernel_consts
+        return huffdec_kernel.cached_block_kernel(
+            K, ac_l, ac_c, dc_l, dc_c, 1024, interpret)
+
+
+def _plan_kernel_consts(ps, dc_ids, ac_ids):
+    """Decode-runtime constants when the stream's tables are computable:
+    AC tables byte-match a trained tuned bucket and DC huffval is the
+    identity (Annex-K property).  None otherwise (XLA fallback)."""
+    acs, dcs = [], []
+    for i in (0, 1):
+        ab, av = ps.huff_ac[ac_ids[min(i, len(ac_ids) - 1)]]
+        params = tables.match_affine_ac(ab, av)
+        if params is None:
+            return None
+        acs.append(tables.affine_ac_decode_runtime(*params))
+        db, dv = ps.huff_dc[dc_ids[min(i, len(dc_ids) - 1)]]
+        if not tables.dc_values_identity(dv):
+            return None
+        dcs.append(huffdec_kernel.dc_decode_runtime(db, dv))
+    return (acs[0], acs[1], dcs[0], dcs[1])
 
 
 class DecoderStats:
@@ -389,7 +440,9 @@ class Decoder:
         plan = self._plans.get(key)
         if plan is None:
             plan = _StreamPlan(geo, dc_specs, ac_specs, dc_luma_row,
-                               ac_luma_row, patterns)
+                               ac_luma_row, patterns,
+                               kernel_consts=_plan_kernel_consts(
+                                   ps, dc_ids, ac_ids))
             plan.comp_pattern = comp_pattern
             # per-block static info for phase C.  Each segment row carries
             # bps = max_blocks_per_seg slots; components whose
@@ -505,11 +558,26 @@ class Decoder:
         bufs = bufs.reshape(L, -1)
         bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(L)
 
-        # phase C: per-block decode
-        coefs, errC = plan.block_fn()(
-            bufs, bit_len,
-            jnp.asarray(plan.blk_dc_luma), jnp.asarray(plan.blk_ac_luma),
-            jnp.asarray(plan.blk_valid))
+        # phase C: per-block decode (Pallas kernel when the stream's
+        # tables are computable; XLA while-loop otherwise)
+        kmode = deckernel_mode()
+        kfn = None
+        if kmode != "off":
+            kfn = plan.kernel_block_fn(int(bufs.shape[1]),
+                                       kmode == "interpret")
+        if kfn is not None:
+            coefs_t, errC = kfn(
+                bufs.T, bit_len[None, :],
+                jnp.asarray(plan.blk_dc_luma.astype(np.int32))[None, :],
+                jnp.asarray(plan.blk_ac_luma.astype(np.int32))[None, :],
+                jnp.asarray(plan.blk_valid.astype(np.int32))[None, :])
+            coefs = coefs_t.T
+        else:
+            coefs, errC = plan.block_fn()(
+                bufs, bit_len,
+                jnp.asarray(plan.blk_dc_luma),
+                jnp.asarray(plan.blk_ac_luma),
+                jnp.asarray(plan.blk_valid))
         coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), plan.comp_pattern)
 
         qtabs = np.stack([
@@ -560,21 +628,33 @@ class Decoder:
         split_fn = self._split_fn(bps, caps)
         scan_fn = plan.scan_fn
         block_fn = plan.block_fn()
+        kmode = deckernel_mode()
         idct_fn = _make_idct_post_fn(geo)
         dc_l = jnp.asarray(plan.dc_luma_row)
         ac_l = jnp.asarray(plan.ac_luma_row)
         bdc = jnp.asarray(plan.blk_dc_luma)
         bac = jnp.asarray(plan.blk_ac_luma)
         bva = jnp.asarray(plan.blk_valid)
+        bdc_i = jnp.asarray(plan.blk_dc_luma.astype(np.int32))[None, :]
+        bac_i = jnp.asarray(plan.blk_ac_luma.astype(np.int32))[None, :]
+        bva_i = jnp.asarray(plan.blk_valid.astype(np.int32))[None, :]
         bps_d = jnp.asarray(blocks_per_seg)
         qt = jnp.asarray(qtabs)
         comp_pattern = plan.comp_pattern
+        K = int(caps[-1]) if caps else int(words_np.shape[1])
+        kfn = (plan.kernel_block_fn(K, kmode == "interpret")
+               if kmode != "off" else None)
 
         def fn(words, nbits_d):
             bstart, errA = scan_fn(words, nbits_d, bps_d, dc_l, ac_l)
             bufs = split_fn(words, bstart).reshape(nseg * bps, -1)
             bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(nseg * bps)
-            coefs, errC = block_fn(bufs, bit_len, bdc, bac, bva)
+            if kfn is not None:
+                coefs_t, errC = kfn(bufs.T, bit_len[None, :],
+                                    bdc_i, bac_i, bva_i)
+                coefs = coefs_t.T
+            else:
+                coefs, errC = block_fn(bufs, bit_len, bdc, bac, bva)
             coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), comp_pattern)
             return idct_fn(coefs, qt)
 

@@ -1,0 +1,325 @@
+"""Pallas TPU phase-C Huffman block decoder (tuned computable tables).
+
+The XLA phase C (ops/huffdec2.make_block_decode_fn) pays two structural
+costs at scale:
+
+  * the (L, 64) coefficient accumulator round-trips HBM on EVERY token
+    step of the while loop (~25 MB/step at HD, ~1.6 GB per frame);
+  * each step runs FOUR generic table decoders (DC/AC x luma/chroma,
+    ~430 vector ops each: 16 maxcode compares + an 11x16 huffval select
+    chain) and muxes the results.
+
+This kernel removes both.  Lanes = blocks; each grid tile decodes
+8*C_TILE blocks arranged as (8, C) full vregs — per-lane state rows use
+every sublane, so the decode chain runs at full VPU width.  The
+(8 x 64, C) coefficient tile lives in VMEM for the whole token loop and
+is written to HBM once.  The DC token is decoded OUTSIDE the loop (in
+phase C every lane's first token is DC, so the loop body is AC-only),
+and AC symbols come from the tuned family's computable decode: the
+canonical ordering fixed by tables.affine_ac_spec makes (run, size) pure
+arithmetic on the code length and the rank within that length
+(tables.affine_ac_decode_runtime) — no 162-entry huffval lookup.
+
+Counterpart of gpujpeg_huffman_gpu_decoder.cu:390-536 (thread-per-segment
+64Ki-LUT walk) re-shaped for a vector machine: same stream semantics,
+same error containment (invalid code / cursor overrun / coefficient
+overrun poison the lane, not the frame).
+
+DC tables must satisfy huffval[j] == j (Annex-K DC property, checked by
+tables.dc_values_identity) so the DC symbol is the canonical rank.
+Foreign streams with non-matching tables use the XLA fallback path.
+
+Lane layout contract (G8 = 8 sublane groups):
+  host block index b in [0, L) maps to (group r, column l) with
+  r = b // ceil(L/8)-ish — concretely the wrapper reshapes the padded
+  (K, Lp) transposed buffers to (K, 8, Lp/8) -> (K*8, Lp/8), so
+  b = r * (Lp/8) + l.  Outputs come back as (8*64, Lp/8) and are
+  unpermuted with leading-dim reshapes/transposes only (minor dim — the
+  lane axis — never moves, so the relayout is cheap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: decode at most this many AC tokens per block (63 AC + slack)
+MAX_AC_STEPS = 66
+
+
+def _mux(lum, a: int, b: int):
+    """Per-lane luma/chroma constant select."""
+    if a == b:
+        return jnp.int32(a)
+    return jnp.where(lum, jnp.int32(a), jnp.int32(b))
+
+
+def affine_ac_decode(peek16, lum, consts_l, consts_c):
+    """(clen, sym) for one AC token from a left-aligned 16-bit peek.
+
+    peek16/lum: (..., L) int32 / bool; consts_* from
+    tables.affine_ac_decode_runtime.  clen == 0 marks an invalid code.
+    Pure jnp — runs identically under XLA and inside Pallas kernels.
+    """
+    monoL, roffL, zoneL, rlenL, b16L, smin16L, eL, zL, zrL = consts_l
+    monoC, roffC, zoneC, rlenC, b16C, smin16C, eC, zC, zrC = consts_c
+
+    clen = jnp.ones_like(peek16)
+    for l in range(1, 16):
+        clen = clen + (peek16 > _mux(lum, monoL[l], monoC[l]))
+    invalid = peek16 > _mux(lum, monoL[16], monoC[16])
+
+    code = peek16 >> (16 - clen)
+    rank = jnp.zeros_like(peek16)
+    zone = jnp.zeros_like(peek16)
+    for l in range(1, 17):
+        hit = clen == l
+        rank = jnp.where(hit, code + _mux(lum, roffL[l], roffC[l]), rank)
+        zone = jnp.where(hit, _mux(lum, zoneL[l], zoneC[l]), zone)
+    pre = zone & 15
+    slo = (zone >> 4) & 15
+    nr0 = (zone >> 8) & 15
+    rlo = zone >> 12
+
+    is_eob = (clen == _mux(lum, eL, eC)) & (rank == 0)
+    is_zrl = (clen == _mux(lum, zL, zC)) & (rank == _mux(lum, zrL, zrC))
+    in_r0 = (rank >= pre) & (rank < pre + nr0)
+    sym_r0 = slo + rank - pre
+    base = pre + nr0
+
+    # general zone (l < 16): runs contiguous from rlo, size = l - r_len[run]
+    run_g = rlo + rank - base
+    rl_g = jnp.zeros_like(peek16)
+    for r in range(16):
+        rl_g = jnp.where(run_g == r, _mux(lum, rlenL[r], rlenC[r]), rl_g)
+    sym_g = (run_g << 4) | (clen - rl_g)
+
+    # l == 16 zone: rank -> (run, size) via cumulative per-run bases
+    rank16 = rank - base
+    run16 = jnp.zeros_like(peek16)
+    bsel = jnp.zeros_like(peek16)
+    smsel = jnp.zeros_like(peek16)
+    for r in range(1, 16):
+        br = _mux(lum, b16L[r], b16C[r])
+        hit = rank16 >= br
+        run16 = jnp.where(hit, r, run16)
+        bsel = jnp.where(hit, br, bsel)
+        smsel = jnp.where(hit, _mux(lum, smin16L[r], smin16C[r]), smsel)
+    sym16 = (run16 << 4) | (smsel + rank16 - bsel)
+
+    sym = jnp.where(clen >= 16, sym16, sym_g)
+    sym = jnp.where(in_r0, sym_r0, sym)
+    sym = jnp.where(is_zrl, 0xF0, sym)
+    sym = jnp.where(is_eob, 0, sym)
+    return jnp.where(invalid, 0, clen), sym
+
+
+def dc_identity_decode(peek16, lum, mono_l, mono_c, roff_l, roff_c):
+    """(clen, sym) for a DC token when huffval[j] == j: sym = canonical
+    rank.  mono/roff from the same construction as the AC constants."""
+    clen = jnp.ones_like(peek16)
+    for l in range(1, 16):
+        clen = clen + (peek16 > _mux(lum, mono_l[l], mono_c[l]))
+    invalid = peek16 > _mux(lum, mono_l[16], mono_c[16])
+    code = peek16 >> (16 - clen)
+    sym = jnp.zeros_like(peek16)
+    for l in range(1, 17):
+        sym = jnp.where(clen == l, code + _mux(lum, roff_l[l], roff_c[l]),
+                        sym)
+    return jnp.where(invalid, 0, clen), sym
+
+
+def dc_decode_runtime(bits, values):
+    """(mono16, rankoff) int tuples for dc_identity_decode.  Requires
+    tables.dc_values_identity(values)."""
+    from ..utils import tables
+
+    maxcode16, valoff, _hv = tables.huffman_decode_spec(
+        np.asarray(bits), np.asarray(values))
+    mono = np.asarray(maxcode16, np.int64).copy()
+    mono[0] = -1
+    for l in range(1, 17):
+        if mono[l] < 0:
+            mono[l] = mono[l - 1]
+    # values identity => huffval[j] = j, so sym = j = code + valoff[l]
+    return (tuple(int(x) for x in mono),
+            tuple(int(x) for x in np.asarray(valoff, np.int64)))
+
+
+def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
+                       coef_ref, err_ref, *, K: int, ac_l, ac_c,
+                       dc_mono_l, dc_mono_c, dc_roff_l, dc_roff_c):
+    C = bufs_ref.shape[1]
+    blen = blen_ref[:, :]                       # (8, C)
+    ldc = ldc_ref[:, :] != 0
+    lac = lac_ref[:, :] != 0
+    valid = valid_ref[:, :] != 0
+    iota64 = jax.lax.broadcasted_iota(jnp.int32, (64, C), 0)
+
+    def window32(cursor):
+        wi = cursor >> 5
+        hi = jnp.zeros((8, C), jnp.uint32)
+        lo = jnp.zeros((8, C), jnp.uint32)
+        for k in range(K):
+            hit = wi == k
+            hi = jnp.where(hit, bufs_ref[8 * k:8 * k + 8, :], hi)
+            if k + 1 < K:
+                lo = jnp.where(hit, bufs_ref[8 * k + 8:8 * k + 16, :], lo)
+        r = (cursor & 31).astype(jnp.uint32)
+        return jnp.where(r == 0, hi,
+                         (hi << r) | (lo >> (jnp.uint32(32) - r)))
+
+    def value_bits(peek, clen, size):
+        vu = jnp.where(
+            size == 0, jnp.uint32(0),
+            (peek << jnp.clip(clen, 0, 31).astype(jnp.uint32))
+            >> jnp.clip(32 - size, 0, 31).astype(jnp.uint32)
+        ).astype(jnp.int32)
+        half = jnp.where(size > 0, 1 << jnp.maximum(size - 1, 0), 1)
+        return jnp.where((size > 0) & (vu < half), vu - (1 << size) + 1, vu)
+
+    def write_onehot(coefs, coef_idx, val, write):
+        """coefs: tuple of 8 (64, C) arrays; writes row group g from the
+        g-th sublane of coef_idx/val/write."""
+        out = []
+        for g in range(8):
+            idx_g = jnp.broadcast_to(coef_idx[g:g + 1, :], (64, C))
+            val_g = jnp.broadcast_to(val[g:g + 1, :], (64, C))
+            wr_g = jnp.broadcast_to(write[g:g + 1, :], (64, C))
+            out.append(coefs[g]
+                       + jnp.where((iota64 == idx_g) & wr_g, val_g, 0))
+        return tuple(out)
+
+    # ---- DC token (every lane's first token), unrolled ----
+    peek = window32(jnp.zeros((8, C), jnp.int32))
+    peek16 = (peek >> 16).astype(jnp.int32)
+    clen, sym = dc_identity_decode(peek16, ldc, dc_mono_l, dc_mono_c,
+                                   dc_roff_l, dc_roff_c)
+    size = sym & 15
+    consumed = clen + size
+    bad = valid & ((clen == 0) | (consumed > blen) | (sym > 15))
+    ok = valid & ~bad
+    val = value_bits(peek, clen, size)
+    coefs = tuple(jnp.zeros((64, C), jnp.int32) for _ in range(8))
+    coefs = write_onehot(coefs, jnp.zeros((8, C), jnp.int32), val,
+                         ok & (size > 0))
+    cursor = jnp.where(ok, consumed, 0)
+    err = bad
+
+    # ---- AC loop ----
+    done0 = ~valid | err | (cursor >= blen)     # DC-only blocks are done
+    pos0 = jnp.ones((8, C), jnp.int32)
+
+    def cond(s):
+        it, flag = s[0], s[1]
+        return (flag != 0) & (it < MAX_AC_STEPS)
+
+    def body(s):
+        it, _flag, coefs, cursor, pos, erri, donei = s
+        active = (donei == 0) & (erri == 0)
+        peek = window32(cursor)
+        peek16 = (peek >> 16).astype(jnp.int32)
+        clen, sym = affine_ac_decode(peek16, lac, ac_l, ac_c)
+        run = sym >> 4
+        size = sym & 15
+        consumed = clen + size
+        is_eob = sym == 0
+        is_zrl = sym == 0xF0
+        coef_idx = pos + run
+        new_pos = jnp.where(is_eob, 64,
+                  jnp.where(is_zrl, pos + 16, coef_idx + 1))
+        bad = active & ((clen == 0) | (cursor + consumed > blen)
+                        | (coef_idx > 63) | (new_pos > 64))
+        okk = active & ~bad
+        write = okk & ~is_eob & ~is_zrl & (size > 0)
+        val = value_bits(peek, clen, size)
+        coefs = write_onehot(coefs, coef_idx, val, write)
+        cursor = jnp.where(okk, cursor + consumed, cursor)
+        pos = jnp.where(okk, new_pos, pos)
+        donei = jnp.where(okk & (new_pos >= 64), 1, donei)
+        erri = jnp.where(bad, 1, erri)
+        flag = jnp.sum((donei == 0) & (erri == 0))
+        return it + 1, flag, coefs, cursor, pos, erri, donei
+
+    state = (jnp.int32(0), jnp.int32(1), coefs, cursor, pos0,
+             err.astype(jnp.int32), done0.astype(jnp.int32))
+    _it, _fl, coefs, cursor, pos, erri, donei = \
+        jax.lax.while_loop(cond, body, state)
+    # lanes that ran out of steps without finishing are corrupt
+    erri = jnp.where(valid & (donei == 0), 1, erri)
+    for g in range(8):
+        coef_ref[64 * g:64 * g + 64, :] = coefs[g].astype(jnp.int16)
+    err_ref[:, :] = jnp.where(valid, erri, 0)
+
+
+def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
+                      C_tile: int = 128, interpret: bool = False):
+    """(bufs_t (K, L) u32, blen (1, L) i32, dc_luma/ac_luma/valid (1, L)
+    i32) -> (coefs_t (64, L) int16 DIFFERENTIAL-DC, err (1, L) i32).
+
+    ac_l/ac_c: tables.affine_ac_decode_runtime constants;
+    dc_l/dc_c: dc_decode_runtime constants.  Each grid tile decodes
+    8*C_tile block lanes as (8, C_tile) full vregs.
+    """
+    dc_mono_l, dc_roff_l = dc_l
+    dc_mono_c, dc_roff_c = dc_c
+    kernel = functools.partial(
+        _block_kernel_body, K=K, ac_l=ac_l, ac_c=ac_c,
+        dc_mono_l=dc_mono_l, dc_mono_c=dc_mono_c,
+        dc_roff_l=dc_roff_l, dc_roff_c=dc_roff_c)
+
+    def fn(bufs_t, blen, dc_luma, ac_luma, valid):
+        L = bufs_t.shape[1]
+        lanes = 8 * C_tile
+        G = -(-L // lanes)
+        Lp = G * lanes
+        W8 = Lp // 8
+        if Lp != L:
+            bufs_t = jnp.pad(bufs_t, ((0, 0), (0, Lp - L)))
+            blen = jnp.pad(blen, ((0, 0), (0, Lp - L)))
+            dc_luma = jnp.pad(dc_luma, ((0, 0), (0, Lp - L)))
+            ac_luma = jnp.pad(ac_luma, ((0, 0), (0, Lp - L)))
+            valid = jnp.pad(valid, ((0, 0), (0, Lp - L)))
+        # lane layout: block b = r * W8 + l  (r = sublane group)
+        bufs8 = bufs_t.reshape(K, 8, W8).reshape(K * 8, W8)
+        row8 = lambda a: a.reshape(8, W8)
+        g8 = pl.BlockSpec((8, C_tile), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+        coefs8, err8 = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((K * 8, C_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                g8, g8, g8, g8,
+            ],
+            out_specs=[
+                pl.BlockSpec((512, C_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                g8,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((512, W8), jnp.int16),
+                jax.ShapeDtypeStruct((8, W8), jnp.int32),
+            ],
+            interpret=interpret,
+        )(bufs8, row8(blen), row8(dc_luma), row8(ac_luma), row8(valid))
+        # un-permute: (8, 64, W8) -> (64, 8, W8) -> (64, Lp); the minor
+        # (lane) dim never moves, so this is a cheap leading-dim shuffle
+        coefs_t = coefs8.reshape(8, 64, W8).transpose(1, 0, 2) \
+            .reshape(64, Lp)[:, :L]
+        err = err8.reshape(Lp)[:L]
+        return coefs_t, err
+
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def cached_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile=128,
+                        interpret=False):
+    return make_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile, interpret)

@@ -482,3 +482,110 @@ def ac_spec(luma: bool, quality: int, family: str = "tuned"):
     if family == "tuned":
         return affine_ac_spec(*affine_params_for_quality(quality, luma))
     raise ValueError(family)
+
+
+# --- Computable DECODE for the tuned family ------------------------------------
+#
+# The canonical ordering affine_ac_spec fixes (per length: EOB, ZRL, run-0
+# sizes ascending, then (run, size) ascending) makes the decode side
+# computable too: given the peek's code length l and its rank within that
+# length, the symbol is pure arithmetic on small per-length constants — no
+# 162-entry huffval lookup (the ~256-select chain that dominates the
+# gather-free decoder's per-token cost, ops/huffdec2._make_table_decode).
+# Counterpart of the reference's 64Ki decode LUT
+# (gpujpeg_huffman_gpu_decoder.cu:47-73) with the LUT replaced by algebra.
+
+def affine_ac_decode_runtime(r_len, l0, len_eob: int, len_zrl: int):
+    """Constants for the arithmetic tuned-AC decode.  All entries are
+    plain int tuples (hashable for kernel cache keys):
+
+      mono16:  (17,) monotone left-aligned maxcodes (empty lengths filled
+               with the previous length's value) — clen = 1 + count of
+               mono16[l] < peek16, no selects
+      rankoff: (17,) rank = (peek16 >> (16-l)) + rankoff[l] (= -mincode[l])
+      zone:    (17,) packed per-length: pre | slo<<4 | nr0<<8 | rlo<<12
+               (pre = #EOB/ZRL at l, run-0 sizes [slo, slo+nr0), first
+               general run rlo)
+      r_len16: (16,) size = l - r_len16[run] for the general l < 16 zone
+      b16:     (16,) per-run rank base of the l == 16 zone
+      smin16:  (16,) first size of each run in the l == 16 zone
+      len_eob, len_zrl, zrl_rank: EOB/ZRL detection (rank-0/zrl_rank at
+               their lengths)
+
+    Validated exhaustively against huffman_decode_lut16 in
+    tests/test_affine_tables.py for every trained bucket.
+    """
+    bits, values = affine_ac_spec(r_len, l0, len_eob, len_zrl)
+    maxcode16, valoff, _hv = huffman_decode_spec(bits, values)
+    valptr = np.zeros(17, np.int64)
+    k = 0
+    for l in range(1, 17):
+        valptr[l] = k
+        k += int(bits[l])
+    mono = np.asarray(maxcode16, np.int64).copy()
+    for l in range(1, 17):
+        if maxcode16[l] < 0:
+            mono[l] = mono[l - 1] if l > 0 else -1
+    mono[0] = -1
+    rankoff = (np.asarray(valoff, np.int64) - valptr)
+
+    r_arr = np.asarray(r_len, np.int64)
+    l0a = np.asarray(l0, np.int64)
+    zone = np.zeros(17, np.int64)
+    for l in range(1, 17):
+        pre = (1 if len_eob == l else 0) + (1 if len_zrl == l else 0)
+        ss = [s for s in range(1, 11) if l0a[s - 1] == l]
+        if ss:
+            assert ss == list(range(ss[0], ss[-1] + 1)), (l, ss)
+        slo, nr0 = (ss[0], len(ss)) if ss else (0, 0)
+        rlo = 0
+        if l < 16:
+            rs = [r for r in range(1, 16) if 1 <= l - r_arr[r] <= 10]
+            if rs:
+                assert rs == list(range(rs[0], rs[-1] + 1)), (l, rs)
+                rlo = rs[0]
+        zone[l] = pre | (slo << 4) | (nr0 << 8) | (rlo << 12)
+
+    smin16 = np.zeros(16, np.int64)
+    b16 = np.zeros(16, np.int64)
+    acc = 0
+    for r in range(1, 16):
+        smin = max(1, 16 - int(r_arr[r]))
+        smin16[r] = smin
+        b16[r] = acc
+        acc += max(0, 10 - smin + 1)
+
+    zrl_rank = 1 if len_zrl == len_eob else 0
+    ints = lambda a: tuple(int(x) for x in a)
+    return (ints(mono), ints(rankoff), ints(zone), ints(r_arr), ints(b16),
+            ints(smin16), int(len_eob), int(len_zrl), int(zrl_rank))
+
+
+@functools.lru_cache(maxsize=None)
+def _affine_spec_index():
+    """{(bits, values) bytes-key: params} over every trained bucket."""
+    idx = {}
+    for params in AFFINE_AC_PARAMS.values():
+        bits, values = affine_ac_spec(*params)
+        key = (bits.astype(np.int64).tobytes(),
+               np.asarray(values, np.int64).tobytes())
+        idx.setdefault(key, tuple(tuple(p) if isinstance(p, (list, tuple))
+                                  else int(p) for p in params))
+    return idx
+
+
+def match_affine_ac(bits, values):
+    """If (bits, values) is byte-identical to a trained tuned-family AC
+    table, return its params (r_len, l0, len_eob, len_zrl); else None.
+    Lets the decoder switch to the computable decode for streams produced
+    by this encoder (or any encoder reusing the published tables)."""
+    key = (np.asarray(bits, np.int64).tobytes(),
+           np.asarray(values, np.int64).tobytes())
+    return _affine_spec_index().get(key)
+
+
+def dc_values_identity(values) -> bool:
+    """True when huffval[j] == j for all j — the Annex-K DC property that
+    makes DC symbol decode free (sym = canonical rank)."""
+    v = np.asarray(values, np.int64)
+    return bool(np.array_equal(v, np.arange(len(v))))

@@ -75,6 +75,61 @@ def test_tokenizer_affine_path_matches_chain(rng):
         assert np.array_equal(np.asarray(b1)[emit], np.asarray(b2)[emit])
 
 
+@pytest.mark.parametrize("key", sorted(tables.AFFINE_AC_PARAMS))
+def test_affine_decode_matches_lut_exhaustively(key):
+    """Arithmetic decode (clen, sym) == the 64Ki LUT for EVERY peek16."""
+    from gpujpeg_tpu.ops import huffdec_kernel
+
+    p = tables.AFFINE_AC_PARAMS[key]
+    consts = tables.affine_ac_decode_runtime(*p)
+    bits, values = tables.affine_ac_spec(*p)
+    lut = tables.huffman_decode_lut16(bits, values)
+    peek = jnp.arange(65536, dtype=jnp.int32)
+    lum = jnp.ones((), bool) if key[1] == "luma" else jnp.zeros((), bool)
+    # exercise the luma/chroma mux by passing the SAME consts both ways
+    clen, sym = huffdec_kernel.affine_ac_decode(peek, lum, consts, consts)
+    clen, sym = np.asarray(clen), np.asarray(sym)
+    ref_len = (np.asarray(lut) >> 8).astype(np.int64)
+    ref_sym = (np.asarray(lut) & 0xFF).astype(np.int64)
+    valid = ref_len > 0
+    assert np.array_equal(clen[valid], ref_len[valid]), key
+    assert np.array_equal(sym[valid], ref_sym[valid]), key
+    # invalid codes must report clen == 0
+    assert np.all(clen[~valid] == 0), key
+
+
+@pytest.mark.parametrize("luma", [True, False])
+def test_dc_identity_decode_matches_lut(luma):
+    from gpujpeg_tpu.ops import huffdec_kernel
+
+    bits, values = tables.huffman_spec_for("dc", luma)
+    assert tables.dc_values_identity(values)
+    mono, roff = huffdec_kernel.dc_decode_runtime(bits, values)
+    lut = tables.huffman_decode_lut16(np.asarray(bits), np.asarray(values))
+    peek = jnp.arange(65536, dtype=jnp.int32)
+    lum = jnp.asarray(luma)
+    clen, sym = huffdec_kernel.dc_identity_decode(
+        peek, lum, mono, mono, roff, roff)
+    clen, sym = np.asarray(clen), np.asarray(sym)
+    ref_len = (np.asarray(lut) >> 8).astype(np.int64)
+    ref_sym = (np.asarray(lut) & 0xFF).astype(np.int64)
+    valid = ref_len > 0
+    assert np.array_equal(clen[valid], ref_len[valid])
+    assert np.array_equal(sym[valid], ref_sym[valid])
+    assert np.all(clen[~valid] == 0)
+
+
+def test_match_affine_ac_roundtrip():
+    p = tables.AFFINE_AC_PARAMS[(75, "luma")]
+    bits, values = tables.affine_ac_spec(*p)
+    got = tables.match_affine_ac(bits, values)
+    assert got is not None
+    assert tuple(got[0]) == tuple(p[0]) and tuple(got[1]) == tuple(p[1])
+    # annexk must NOT match
+    ab, av = tables.huffman_spec_for("ac", True)
+    assert tables.match_affine_ac(ab, av) is None
+
+
 def test_tuned_stream_decodes_like_annexk(rng):
     """Same pixels from either family; PIL decodes both."""
     from PIL import Image
