@@ -181,6 +181,60 @@ def _make_idct_post_fn(geo: Geometry):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=16)
+def _make_idct_post_fn_t(geo: Geometry):
+    """jit: (coefs_t (64, nseg*bps) TRANSPOSED layout, qtabs) -> image.
+
+    Companion of _make_idct_post_fn for the Pallas phase-C kernel's
+    native output: the dequant+IDCT matmul runs on (64, L) directly
+    (contraction over sublanes) and the blocks->plane relayout reads the
+    transposed source — reshape (8, 8, nbh, nbw) -> transpose
+    (2, 0, 3, 1) — skipping the (64, L) -> (L, 64) full transpose that
+    cost ~8 ms at 8K.  Non-interleaved scans only."""
+    assert not geo.interleaved
+    out_pi = geo.param_image
+    N = tables.idct2d_matrix_zz().astype(np.float32)
+
+    def fn(coefs_t, qtabs):
+        planes = []
+        base = 0
+        for c in geo.components:
+            S = c.segment_count
+            rst = c.segment_mcu_count
+            bps = geo.max_blocks_per_seg
+            ct = coefs_t[:, base * bps:(base + S) * bps]
+            ct = ct.reshape(64, S, bps)[:, :, :rst].reshape(64, S * rst)
+            ct = ct[:, :c.mcu_count]
+            y = ct.astype(jnp.float32) * qtabs[c.index][:, None]
+            x = jnp.dot(jnp.asarray(N.T), y,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            # u8 before the relayout: the interleaving transpose is
+            # bandwidth-bound (8.4 ms in i32 vs 3.8 ms in u8 at 8K)
+            x = jnp.clip(jnp.round(x + 128.0), 0, 255).astype(jnp.uint8)
+            nbh, nbw = c.data_height // 8, c.data_width // 8
+            plane = x.reshape(8, 8, nbh, nbw).transpose(2, 0, 3, 1) \
+                .reshape(c.data_height, c.data_width)
+            planes.append(plane)
+            base += S
+        return sample.postprocess(planes, geo, out_pi)
+
+    return jax.jit(fn)
+
+
+def _dc_fixup_t(coefs_t, comp_pattern: np.ndarray, nseg: int, bps: int):
+    """Integrate differential DC on the transposed (64, L) layout: only
+    sublane 0 is touched (one (nseg, bps) cumsum per component)."""
+    dc = coefs_t[0, :].astype(jnp.int32).reshape(nseg, bps)
+    ncomp = int(comp_pattern.max()) + 1
+    acc = jnp.zeros_like(dc)
+    for c in range(ncomp):
+        m = jnp.asarray((comp_pattern == c).astype(np.int32))[None, :]
+        acc = acc + jnp.cumsum(dc * m, axis=1) * m
+    dc_row = acc.reshape(1, nseg * bps).astype(coefs_t.dtype)
+    return jnp.concatenate([dc_row, coefs_t[1:]], axis=0)
+
+
 def _dc_fixup(coefs, comp_pattern: np.ndarray):
     """Integrate differential DC along each segment row (per component).
 
@@ -236,7 +290,7 @@ class _StreamPlan:
         max_steps = self.bps * 66 + 4
         self.scan_fn = huffdec2.make_scan_fn(
             dc_specs, ac_specs, self.bps, max_steps,
-            luma_patterns=luma_patterns)
+            luma_patterns=luma_patterns, affine_consts=kernel_consts)
         self.block_fn_cache: Dict[int, object] = {}
         self.split_caps: Optional[Tuple[int, ...]] = None
 
@@ -256,6 +310,20 @@ class _StreamPlan:
         ac_l, ac_c, dc_l, dc_c = self.kernel_consts
         return huffdec_kernel.cached_block_kernel(
             K, ac_l, ac_c, dc_l, dc_c, 1024, interpret)
+
+    def kernel_scan_fn(self, W: int, interpret: bool):
+        """Pallas phase A for W-word segment rows, or None if not
+        applicable (foreign tables / oversized segments)."""
+        if self.kernel_consts is None or W > 64:
+            return None
+        pats = None
+        if self.luma_patterns is not None:
+            dc_pat, ac_pat, bpm = self.luma_patterns
+            pats = (tuple(bool(x) for x in dc_pat),
+                    tuple(bool(x) for x in ac_pat), int(bpm))
+        ac_l, ac_c, dc_l, dc_c = self.kernel_consts
+        return huffdec_kernel.cached_scan_kernel(
+            W, self.bps, ac_l, ac_c, dc_l, dc_c, 128, interpret, pats)
 
 
 def _plan_kernel_consts(ps, dc_ids, ac_ids):
@@ -537,9 +605,19 @@ class Decoder:
             plan.blk_valid.reshape(nseg, bps).sum(axis=1).astype(np.int32))
 
         # phase A: block boundaries
-        bstart, errA = plan.scan_fn(words, nbits_d, blocks_per_seg,
-                                    jnp.asarray(plan.dc_luma_row),
-                                    jnp.asarray(plan.ac_luma_row))
+        kmode = deckernel_mode()
+        skfn = (plan.kernel_scan_fn(int(words.shape[1]),
+                                    kmode == "interpret")
+                if kmode != "off" else None)
+        if skfn is not None:
+            bstart, errA = skfn(
+                words, nbits_d, blocks_per_seg,
+                jnp.asarray(plan.dc_luma_row.astype(np.int32)),
+                jnp.asarray(plan.ac_luma_row.astype(np.int32)))
+        else:
+            bstart, errA = plan.scan_fn(words, nbits_d, blocks_per_seg,
+                                        jnp.asarray(plan.dc_luma_row),
+                                        jnp.asarray(plan.ac_luma_row))
         needs = huffdec2.split_needs(bstart, bps)
         jax.block_until_ready(needs)
         needs_np = np.asarray(needs)
@@ -560,17 +638,36 @@ class Decoder:
 
         # phase C: per-block decode (Pallas kernel when the stream's
         # tables are computable; XLA while-loop otherwise)
-        kmode = deckernel_mode()
         kfn = None
         if kmode != "off":
             kfn = plan.kernel_block_fn(int(bufs.shape[1]),
                                        kmode == "interpret")
+        qtabs = np.stack([
+            ps.quant_tables[ps.quant_map[c.index]]
+            for c in geo.components
+        ]).astype(np.float32)
+
         if kfn is not None:
             coefs_t, errC = kfn(
                 bufs.T, bit_len[None, :],
                 jnp.asarray(plan.blk_dc_luma.astype(np.int32))[None, :],
                 jnp.asarray(plan.blk_ac_luma.astype(np.int32))[None, :],
                 jnp.asarray(plan.blk_valid.astype(np.int32))[None, :])
+            if not geo.interleaved:
+                # stay transposed all the way through IDCT + relayout
+                coefs_t = _dc_fixup_t(coefs_t, plan.comp_pattern,
+                                      nseg, bps)
+                out = _make_idct_post_fn_t(geo)(coefs_t,
+                                                jnp.asarray(qtabs))
+                out = self._apply_output_options(out, out_pi)
+                self.stats.duration_in_gpu = \
+                    (time.perf_counter() - t1) * 1000.0
+                err = np.asarray(errA).any() or np.asarray(errC).any()
+                if err:
+                    import logging
+                    logging.getLogger("gpujpeg_tpu").warning(
+                        "corrupt segment(s) during Huffman decode")
+                return out
             coefs = coefs_t.T
         else:
             coefs, errC = plan.block_fn()(
@@ -579,11 +676,6 @@ class Decoder:
                 jnp.asarray(plan.blk_ac_luma),
                 jnp.asarray(plan.blk_valid))
         coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), plan.comp_pattern)
-
-        qtabs = np.stack([
-            ps.quant_tables[ps.quant_map[c.index]]
-            for c in geo.components
-        ]).astype(np.float32)
 
         fn = _make_idct_post_fn(geo)
         out = fn(coefs, jnp.asarray(qtabs))
@@ -644,14 +736,29 @@ class Decoder:
         K = int(caps[-1]) if caps else int(words_np.shape[1])
         kfn = (plan.kernel_block_fn(K, kmode == "interpret")
                if kmode != "off" else None)
+        skfn = (plan.kernel_scan_fn(int(words_np.shape[1]),
+                                    kmode == "interpret")
+                if kmode != "off" else None)
+        dc_li = jnp.asarray(plan.dc_luma_row.astype(np.int32))
+        ac_li = jnp.asarray(plan.ac_luma_row.astype(np.int32))
+
+        idct_fn_t = (_make_idct_post_fn_t(geo) if kfn is not None
+                     and not geo.interleaved else None)
 
         def fn(words, nbits_d):
-            bstart, errA = scan_fn(words, nbits_d, bps_d, dc_l, ac_l)
+            if skfn is not None:
+                bstart, errA = skfn(words, nbits_d, bps_d, dc_li, ac_li)
+            else:
+                bstart, errA = scan_fn(words, nbits_d, bps_d, dc_l, ac_l)
             bufs = split_fn(words, bstart).reshape(nseg * bps, -1)
             bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(nseg * bps)
             if kfn is not None:
                 coefs_t, errC = kfn(bufs.T, bit_len[None, :],
                                     bdc_i, bac_i, bva_i)
+                if idct_fn_t is not None:
+                    coefs_t = _dc_fixup_t(coefs_t, comp_pattern,
+                                          nseg, bps)
+                    return idct_fn_t(coefs_t, qt)
                 coefs = coefs_t.T
             else:
                 coefs, errC = block_fn(bufs, bit_len, bdc, bac, bva)

@@ -410,14 +410,19 @@ def make_rows_coefs_impl(geo: Geometry, pre=None):
         planes = sample.preprocess(raw, geo, geo.param_image)
         cols = []
         for c in geo.components:
-            blocks = dct.fdct_quantize(planes[c.index],
-                                       qtabs[c.table_index])
+            # transposed DCT: (64, nblocks) out — the segment-row
+            # relayout below touches leading dims only (lane dim = S
+            # stays minor), replacing the old (S, rst*64).T full
+            # transpose that cost ~10 ms at 8K
+            blocks_t = dct.fdct_quantize_t(planes[c.index],
+                                           qtabs[c.table_index])
             rst = c.segment_mcu_count
             S = c.segment_count
             padB = S * rst - c.mcu_count
             if padB:
-                blocks = jnp.pad(blocks, ((0, padB), (0, 0)))
-            cols.append(blocks.reshape(S, rst * 64).T)
+                blocks_t = jnp.pad(blocks_t, ((0, 0), (0, padB)))
+            cols.append(blocks_t.reshape(64, S, rst)
+                        .transpose(2, 0, 1).reshape(rst * 64, S))
         return jnp.concatenate(cols, axis=1), valid_t, luma_t
 
     return fn

@@ -81,6 +81,41 @@ def fdct_quantize(plane: jnp.ndarray, qtab_zz: np.ndarray) -> jnp.ndarray:
     return jnp.round(y).astype(jnp.int16)
 
 
+def plane_to_blocks_t(plane: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (64, H/8 * W/8) TRANSPOSED blocks: sublane = in-block
+    sample index (r*8+c), lane = block raster index.  Feeds the
+    transposed DCT matmul so its output is already in the entropy
+    megakernel's sublane-major layout — the post-matmul (S, rst*64).T
+    full transpose (~10 ms at 8K in int16) collapses to a leading-dim
+    shuffle."""
+    H, W = plane.shape
+    x = plane.reshape(H // 8, 8, W // 8, 8)
+    x = x.transpose(1, 3, 0, 2)
+    return x.reshape(64, -1)
+
+
+def fdct_quantize_t(plane: jnp.ndarray, qtab_zz: np.ndarray) -> jnp.ndarray:
+    """Forward DCT + quantize, transposed in/out: (H, W) samples ->
+    (64, nblocks) int16 zig-zag coefficients (sublanes = coefficients)."""
+    Mq, bias = tables.fdct_fused_matrix(np.asarray(qtab_zz))
+    xt = plane_to_blocks_t(plane)
+    if _use_split_bf16():
+        hi = Mq.astype(np.float32).astype(jnp.bfloat16)
+        lo = (Mq.astype(np.float32) - np.asarray(hi).astype(np.float32)
+              ).astype(jnp.bfloat16)
+        xb = xt.astype(jnp.bfloat16)
+        y = (jnp.dot(jnp.asarray(hi).T, xb,
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(jnp.asarray(lo).T, xb,
+                       preferred_element_type=jnp.float32))
+    else:
+        y = jnp.dot(jnp.asarray(Mq).T, xt.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    y = y + jnp.asarray(bias)[:, None]
+    return jnp.round(y).astype(jnp.int16)
+
+
 def dequantize_idct_traced(coefs: jnp.ndarray, qtab_zz: jnp.ndarray,
                            H: int, W: int) -> jnp.ndarray:
     """Dequant + IDCT with a runtime quant table (decoder path: the table

@@ -323,3 +323,196 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
 def cached_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile=128,
                         interpret=False):
     return make_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile, interpret)
+
+
+# --------------------------------------------------------------------------
+# Phase-A boundary-scan kernel (lanes = segments).
+#
+# The XLA scan (huffdec2.make_scan_fn) pays per-token-step HBM traffic on
+# its loop state (~11 MB of window/position/bstart arrays at 8K, ~140
+# steps -> GBs per frame) plus four-table select-chain decodes.  Here the
+# whole walk runs in VMEM with the computable decode; refill is per-lane
+# (word select chain over the tile's W words), so every loop iteration
+# decodes one token for every active lane — no drain sub-loop.
+# Matches the boundary semantics of huffdec2.make_scan_fn exactly.
+# --------------------------------------------------------------------------
+
+def _scan_kernel_body(words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
+                      bstart_ref, err_ref, *, W: int, bps: int,
+                      max_steps: int, ac_l, ac_c,
+                      dc_mono_l, dc_mono_c, dc_roff_l, dc_roff_c,
+                      luma_patterns=None):
+    C = nbits_ref.shape[1]
+    nbits = nbits_ref[:, :]
+    nblk = nblk_ref[:, :]
+    ldc_row = ldc_ref[:, :] != 0
+    lac_row = lac_ref[:, :] != 0
+
+    def flags(blk):
+        """Table-class flags for the CURRENT block: fixed per lane
+        (non-interleaved) or a pattern lookup on blk % bpm."""
+        if luma_patterns is None:
+            return ldc_row, lac_row
+        dc_pat, ac_pat, bpm = luma_patterns
+        slot = blk % bpm
+        dl = jnp.zeros_like(blk) != 0
+        al = jnp.zeros_like(blk) != 0
+        for j in range(bpm):
+            hit = slot == j
+            if dc_pat[j]:
+                dl = dl | hit
+            if ac_pat[j]:
+                al = al | hit
+        return dl, al
+
+    def word_at(wi):
+        w = jnp.zeros((8, C), jnp.uint32)
+        for k in range(W):
+            w = jnp.where(wi == k, words_ref[8 * k:8 * k + 8, :], w)
+        return w
+
+    def cond(s):
+        it, flag = s[0], s[1]
+        return (flag != 0) & (it < max_steps)
+
+    def body(s):
+        (it, _flag, hi, lo, navail, wi, blk, pos, erri, bst) = s
+        active = (blk < nblk) & (erri == 0)
+        # per-lane refill: lanes below the watermark pull their next word
+        need = active & (navail < 32) & (wi < W)
+        word = word_at(wi)
+        na = jnp.clip(navail, 0, 31).astype(jnp.uint32)
+        hi2 = hi | jnp.where(na == 0, word, word >> na)
+        lo2 = lo | jnp.where(na == 0, jnp.uint32(0),
+                             word << (jnp.uint32(32) - na))
+        hi = jnp.where(need, hi2, hi)
+        lo = jnp.where(need, lo2, lo)
+        navail = jnp.where(need, navail + 32, navail)
+        wi = jnp.where(need, wi + 1, wi)
+
+        # decode one token on lanes with a full window (or stream tail)
+        ready = active & ((navail >= 32) | (wi >= W))
+        peek16 = (hi >> 16).astype(jnp.int32)
+        is_dc = pos == 0
+        ldc, lac = flags(blk)
+        dclen, dcsym = dc_identity_decode(peek16, ldc, dc_mono_l,
+                                          dc_mono_c, dc_roff_l, dc_roff_c)
+        aclen, acsym = affine_ac_decode(peek16, lac, ac_l, ac_c)
+        clen = jnp.where(is_dc, dclen, aclen)
+        sym = jnp.where(is_dc, dcsym, acsym)
+        run = sym >> 4
+        size = sym & 15
+        consumed = clen + size
+        is_eob = (~is_dc) & (sym == 0)
+        is_zrl = (~is_dc) & (sym == 0xF0)
+        coef_idx = jnp.where(is_dc, 0, pos + run)
+        new_pos = jnp.where(is_dc, 1,
+                  jnp.where(is_eob, 64,
+                  jnp.where(is_zrl, pos + 16, coef_idx + 1)))
+        cursor_after = 32 * wi - (navail - consumed)
+        bad = ready & ((clen == 0) | (cursor_after > nbits)
+                       | (coef_idx > 63) | (new_pos > 64))
+        ok = ready & ~bad
+        done = ok & (new_pos >= 64)
+        # record the boundary: bstart[blk + 1] = cursor_after
+        bst2 = []
+        for b in range(bps):
+            bst2.append(jnp.where(done & (blk == b), cursor_after,
+                                  bst[b]))
+        ku = jnp.clip(consumed, 0, 31).astype(jnp.uint32)
+        h3 = jnp.where(ku == 0, hi, (hi << ku) | (lo >> (jnp.uint32(32)
+                                                         - ku)))
+        l3 = jnp.where(ku == 0, lo, lo << ku)
+        hi = jnp.where(ok, h3, hi)
+        lo = jnp.where(ok, l3, lo)
+        navail = jnp.where(ok, navail - consumed, navail)
+        blk = jnp.where(done, blk + 1, blk)
+        pos = jnp.where(ok, jnp.where(done, 0, new_pos), pos)
+        erri = jnp.where(bad, 1, erri)
+        flag = jnp.sum(((blk < nblk) & (erri == 0)).astype(jnp.int32))
+        return (it + 1, flag, hi, lo, navail, wi, blk, pos, erri,
+                tuple(bst2))
+
+    z = jnp.zeros((8, C), jnp.int32)
+    zu = jnp.zeros((8, C), jnp.uint32)
+    state = (jnp.int32(0), jnp.int32(1), zu, zu, z, z, z, z, z,
+             tuple(z for _ in range(bps)))
+    (_it, _fl, hi, lo, navail, wi, blk, pos, erri, bst) = \
+        jax.lax.while_loop(cond, body, state)
+    erri = jnp.where(blk < nblk, 1, erri)
+    # entries past the last block -> stream end (valid empty spans)
+    bstart_ref[0:8, :] = jnp.zeros((8, C), jnp.int32)
+    for b in range(bps):
+        v = jnp.where(b + 1 > blk, nbits, bst[b])
+        bstart_ref[8 * (b + 1):8 * (b + 2), :] = v
+    err_ref[:, :] = erri
+
+
+def make_scan_kernel(W: int, bps: int, ac_l, ac_c, dc_l, dc_c,
+                     C_tile: int = 128, interpret: bool = False,
+                     luma_patterns=None):
+    """(words (nseg, W) u32, nbits/nblocks/dc_luma/ac_luma (nseg,)) ->
+    (bstart (nseg, bps+1) i32, err (nseg,) bool) — kernel phase A.
+
+    luma_patterns: None or (dc_pat, ac_pat, bpm) bool tuples for
+    interleaved scans (table class switches per block-within-MCU slot).
+    """
+    dc_mono_l, dc_roff_l = dc_l
+    dc_mono_c, dc_roff_c = dc_c
+    max_steps = bps * 66 + 2 * W + 8
+    kernel = functools.partial(
+        _scan_kernel_body, W=W, bps=bps, max_steps=max_steps,
+        ac_l=ac_l, ac_c=ac_c, dc_mono_l=dc_mono_l, dc_mono_c=dc_mono_c,
+        dc_roff_l=dc_roff_l, dc_roff_c=dc_roff_c,
+        luma_patterns=luma_patterns)
+
+    def fn(words, nbits, nblocks, dc_luma, ac_luma):
+        nseg = words.shape[0]
+        lanes = 8 * C_tile
+        G = -(-nseg // lanes)
+        Np = G * lanes
+        N8 = Np // 8
+        wt = words.T
+        if Np != nseg:
+            wt = jnp.pad(wt, ((0, 0), (0, Np - nseg)))
+            nbits = jnp.pad(nbits, (0, Np - nseg))
+            nblocks = jnp.pad(nblocks, (0, Np - nseg))
+            dc_luma = jnp.pad(dc_luma, (0, Np - nseg))
+            ac_luma = jnp.pad(ac_luma, (0, Np - nseg))
+        w8 = wt.reshape(W, 8, N8).reshape(W * 8, N8)
+        row8 = lambda a: a.astype(jnp.int32).reshape(8, N8)
+        g8 = pl.BlockSpec((8, C_tile), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+        bstart8, err8 = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((W * 8, C_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                g8, g8, g8, g8,
+            ],
+            out_specs=[
+                pl.BlockSpec(((bps + 1) * 8, C_tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                g8,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(((bps + 1) * 8, N8), jnp.int32),
+                jax.ShapeDtypeStruct((8, N8), jnp.int32),
+            ],
+            interpret=interpret,
+        )(w8, row8(nbits), row8(nblocks), row8(dc_luma), row8(ac_luma))
+        # (bps+1, 8, N8) -> (bps+1, nseg) -> (nseg, bps+1): only the
+        # final small transpose moves the minor dim
+        bstart = bstart8.reshape(bps + 1, Np).T[:nseg]
+        err = (err8.reshape(Np) != 0)[:nseg]
+        return bstart, err
+
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def cached_scan_kernel(W, bps, ac_l, ac_c, dc_l, dc_c, C_tile=128,
+                       interpret=False, luma_patterns=None):
+    return make_scan_kernel(W, bps, ac_l, ac_c, dc_l, dc_c, C_tile,
+                            interpret, luma_patterns)

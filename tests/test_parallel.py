@@ -61,6 +61,31 @@ def test_sharded_equals_single_device(mesh8, rng):
     assert sharded == single
 
 
+def test_16k_width_sharded_equals_single(mesh8, rng):
+    """16K-WIDTH frame striped over the seg axis, bit-identical to the
+    single-device stream.  Exercises the BASELINE config-5 geometry class
+    (15360 px rows, 1920 luma blocks per row, multi-row stripes) at a
+    height that keeps the CPU mesh run fast; bench.py measures the full
+    15360x8640 frame on real hardware."""
+    from gpujpeg_tpu import Encoder
+
+    mesh = pmesh.make_mesh(8, data=1, seg=8)
+    H, W = 128, 15360
+    param = Parameters(quality=75, restart_interval=16)
+    pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.stack([(xx * 255 // W), (yy * 255 // H),
+                    ((xx + yy) * 255 // (W + H))], -1).astype(np.uint8)
+    be = pbatch.BatchEncoder(mesh, param, pi)
+    sharded = be.encode_batch(img[None])[0]
+    single = Encoder().encode(img, param, pi)
+    assert sharded == single
+    dec = pil_decode(sharded)
+    assert dec.shape == (H, W, 3)
+    assert psnr(img, dec) > 30
+
+
 def test_stripe_alignment():
     from gpujpeg_tpu.utils.geometry import get_geometry
     param = Parameters(quality=75, restart_interval=8, comp_count=3)

@@ -161,6 +161,24 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.int16(0))
         return lp
 
+    idct_t = None
+    if kfn is not None and not geo.interleaved:
+        idct_t_fn = dec_mod._make_idct_post_fn_t(geo)
+        coefs_t0, _e = kfn(bufs0_t, blen0_r, bdc_i, bac_i, bva_i)
+        coefs_t0 = jax.block_until_ready(
+            dec_mod._dc_fixup_t(coefs_t0, plan.comp_pattern, nseg, bps))
+
+        def mk_idct_t(n):
+            @jax.jit
+            def lp(ct):
+                def body(i, carry):
+                    o = idct_t_fn(ct.at[0, 0].set(carry), qtabs)
+                    o = o[0] if isinstance(o, (list, tuple)) else o
+                    return o.reshape(-1)[0].astype(jnp.int16)
+                return jax.lax.fori_loop(0, n, body, jnp.int16(0))
+            return lp
+        idct_t = (mk_idct_t, (coefs_t0,))
+
     def mk_full(n):
         @jax.jit
         def lp(words, nbits):
@@ -178,6 +196,8 @@ def main():
             ("FULL", mk_full, (words, nbits))]
     if kfn is not None:
         jobs.insert(3, ("C kernel", mk_ckern, (bufs0_t, blen0_r)))
+    if idct_t is not None:
+        jobs.insert(-1, ("I idct_t+post", idct_t[0], idct_t[1]))
     for name, mk, args in jobs:
         t0 = time.time()
         ms = dtime(mk, args)

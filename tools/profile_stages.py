@@ -57,6 +57,7 @@ def main():
     print(f"nseg={geo.segment_count if geo.interleaved else sum(c.segment_count for c in geo.components)} "
           f"T={enc_mod.token_slots(geo)}", file=sys.stderr)
 
+    mega = isinstance(caps, enc_mod.MegaCaps)
     tokens_impl = enc_mod.make_rows_tokens_impl(geo)
     qtabs, dc_luts, ac_luts, _aff = enc_mod._component_luts(geo.param.quality)
 
@@ -108,20 +109,51 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
         return lp
 
-    # (c) pack+stuff only, on fixed token arrays
-    bits0, lens0 = jax.jit(tokens_impl)(frame)
-    bits0, lens0 = jax.block_until_ready((bits0, lens0))
+    # (c) entropy stage only, on fixed inputs
+    if mega:
+        coefs_impl = enc_mod.make_rows_coefs_impl(geo)
+        consts = tables.entropy_kernel_consts(geo.param.quality)
+        ct0, vt0, lt0 = jax.jit(coefs_impl)(frame)
+        ct0 = jax.block_until_ready(ct0)
+        vt0 = jnp.asarray(vt0)
+        lt0 = jnp.asarray(lt0)
 
-    def mk_pack(n):
-        @jax.jit
-        def lp(bits, lens):
-            def body(i, carry):
-                rows, ob, needs = fusedpack.pack_stuff_fused(
-                    bits.at[0, 0].set(carry), lens, geo.rst_marker,
-                    l0=caps.l0, z_cap=caps.z_cap, w_out=caps.w_out)
-                return rows.reshape(-1)[0]
-            return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
-        return lp
+        def mk_coefs(n):
+            @jax.jit
+            def lp(raw):
+                def body(i, carry):
+                    ct, _v, _l = coefs_impl(raw.at[0, 0, 0].set(carry))
+                    return ct.reshape(-1)[0].astype(jnp.uint8)
+                return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
+            return lp
+
+        def mk_pack(n):
+            @jax.jit
+            def lp(ct, _unused):
+                def body(i, carry):
+                    rows, ob, needs = fusedpack.entropy_fused(
+                        ct.at[0, 0].set(carry), vt0, lt0, geo.rst_marker,
+                        z_cap=caps.z_cap, w_out=caps.w_out, consts=consts,
+                        compact_after=caps.compact)
+                    return rows.reshape(-1)[0].astype(jnp.int16)
+                return jax.lax.fori_loop(0, n, body, jnp.int16(0))
+            return lp
+
+        bits0, lens0 = ct0, ct0
+    else:
+        bits0, lens0 = jax.jit(tokens_impl)(frame)
+        bits0, lens0 = jax.block_until_ready((bits0, lens0))
+
+        def mk_pack(n):
+            @jax.jit
+            def lp(bits, lens):
+                def body(i, carry):
+                    rows, ob, needs = fusedpack.pack_stuff_fused(
+                        bits.at[0, 0].set(carry), lens, geo.rst_marker,
+                        l0=caps.l0, z_cap=caps.z_cap, w_out=caps.w_out)
+                    return rows.reshape(-1)[0]
+                return jax.lax.fori_loop(0, n, body, jnp.uint32(0))
+            return lp
 
     # (d) full pipeline
     def mk_full(n):
@@ -133,10 +165,14 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
         return lp
 
-    for name, mk, args in [("pre+dct", mk_predct, (frame,)),
-                           ("pre+dct+tok", mk_tokens, (frame,)),
-                           ("pack+stuff", mk_pack, (bits0, lens0)),
-                           ("FULL", mk_full, (frame,))]:
+    jobs = [("pre+dct", mk_predct, (frame,)),
+            ("pack+stuff", mk_pack, (bits0, lens0)),
+            ("FULL", mk_full, (frame,))]
+    if mega:
+        jobs.insert(1, ("coefs_t (mega)", mk_coefs, (frame,)))
+    else:
+        jobs.insert(1, ("pre+dct+tok", mk_tokens, (frame,)))
+    for name, mk, args in jobs:
         t0 = time.time()
         ms = dtime(mk, args)
         print(f"{name:14s} {ms:8.2f} ms   (setup {time.time()-t0:.0f}s)",
