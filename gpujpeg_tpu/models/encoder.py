@@ -385,11 +385,37 @@ def mega_mode() -> bool:
     return os.environ.get("GPUJPEG_TPU_MEGA", "1") != "0"
 
 
+def mega_lane_bounds(geo: Geometry) -> np.ndarray:
+    """Per-scan segment-row bounds with every component's row count
+    padded up to a 128-lane multiple.  The concat of per-component
+    coefficient columns then lands every dynamic-update-slice on a tile
+    boundary — misaligned lane offsets made XLA take a straddled-tile
+    slow path worth ~9 ms at 8K.  Padding rows have valid=0 and emit 0
+    bytes, so assembly just skips them."""
+    bounds = [0]
+    for c in geo.components:
+        bounds.append(bounds[-1] + (-(-c.segment_count // 128) * 128))
+    return np.asarray(bounds, np.int64)
+
+
+def mega_rst_marker(geo: Geometry) -> np.ndarray:
+    """geo.rst_marker re-laid into the lane-padded row space."""
+    lb = mega_lane_bounds(geo)
+    real = np.diff(geo.scan_seg_bounds)
+    out = np.zeros(int(lb[-1]), geo.rst_marker.dtype)
+    for k in range(len(real)):
+        b0 = int(geo.scan_seg_bounds[k])
+        out[int(lb[k]):int(lb[k]) + int(real[k])] = \
+            geo.rst_marker[b0:b0 + int(real[k])]
+    return out
+
+
 def make_rows_coefs_impl(geo: Geometry, pre=None):
     """raw -> (coefs_t (C0, R) int16, valid_t (B, R) i32, luma_t (1, R)
     i32): TRANSPOSED per-segment-row coefficient planes for the entropy
     megakernel (non-interleaved scans; sublanes = blocks-in-stream-order
-    x zig-zag, lanes = segment rows across all scans)."""
+    x zig-zag, lanes = segment rows across all scans; every component's
+    lane range padded to a 128-lane multiple — see mega_lane_bounds)."""
     assert not geo.interleaved
     quality = geo.param.quality
     qtabs = [tables.quant_table_zz(True, quality),
@@ -398,10 +424,14 @@ def make_rows_coefs_impl(geo: Geometry, pre=None):
     for c in geo.components:
         rst = c.segment_mcu_count
         S = c.segment_count
-        vm = (np.arange(S * rst).reshape(S, rst) < c.mcu_count)
-        valids.append(vm.T.astype(np.int32))
-        lumas.append(np.full((1, S), 1 if c.table_index == 0 else 0,
-                             np.int32))
+        Sp = -(-S // 128) * 128
+        vm = np.zeros((rst, Sp), np.int32)
+        vm[:, :S] = (np.arange(S * rst).reshape(S, rst)
+                     < c.mcu_count).T
+        valids.append(vm)
+        lu = np.zeros((1, Sp), np.int32)
+        lu[:, :S] = 1 if c.table_index == 0 else 0
+        lumas.append(lu)
     valid_t = np.concatenate(valids, axis=1)
     luma_t = np.concatenate(lumas, axis=1)
 
@@ -410,22 +440,89 @@ def make_rows_coefs_impl(geo: Geometry, pre=None):
         planes = sample.preprocess(raw, geo, geo.param_image)
         cols = []
         for c in geo.components:
-            # transposed DCT: (64, nblocks) out — the segment-row
-            # relayout below touches leading dims only (lane dim = S
-            # stays minor), replacing the old (S, rst*64).T full
-            # transpose that cost ~10 ms at 8K
-            blocks_t = dct.fdct_quantize_t(planes[c.index],
-                                           qtabs[c.table_index])
             rst = c.segment_mcu_count
             S = c.segment_count
-            padB = S * rst - c.mcu_count
-            if padB:
-                blocks_t = jnp.pad(blocks_t, ((0, 0), (0, padB)))
-            cols.append(blocks_t.reshape(64, S, rst)
-                        .transpose(2, 0, 1).reshape(rst * 64, S))
+            Sp = -(-S // 128) * 128
+            bpr = c.data_width // 8
+            if bpr % rst == 0 and S * rst == c.mcu_count:
+                # block-diagonal DCT emits (rst*64, S) directly — no
+                # post-matmul regroup at all
+                col = dct.fdct_quantize_bd(
+                    planes[c.index], qtabs[c.table_index], rst)
+            else:
+                # general case (segments wrap block rows): transposed
+                # DCT (64, nblocks), then a leading-dims-only regroup
+                blocks_t = dct.fdct_quantize_t(planes[c.index],
+                                               qtabs[c.table_index])
+                padB = S * rst - c.mcu_count
+                if padB:
+                    blocks_t = jnp.pad(blocks_t, ((0, 0), (0, padB)))
+                col = blocks_t.reshape(64, S, rst) \
+                    .transpose(2, 0, 1).reshape(rst * 64, S)
+            if Sp != S:
+                col = jnp.pad(col, ((0, 0), (0, Sp - S)))
+            cols.append(col)
         return jnp.concatenate(cols, axis=1), valid_t, luma_t
 
     return fn
+
+
+def make_rows_xbd_impl(geo: Geometry, pre=None):
+    """raw -> list of per-component (C0, Sp) uint8 block-diagonal sample
+    patches for the DCT-fused entropy megakernel (entropy_fused_u8),
+    plus static per-component metadata.
+
+    Returns (fn, infos): fn(raw) -> [xbd_c ...]; infos[c] = dict with
+    valid (B, Sp) i32, luma (bool), rst (Sp,) marker array, S real rows,
+    dct_key.  Lane counts are 128-padded (mega_lane_bounds) so every
+    kernel tile is single-component."""
+    assert not geo.interleaved
+    use_bf16 = dct._use_split_bf16()
+    quality = geo.param.quality
+    lb = mega_lane_bounds(geo)
+    rst_all = mega_rst_marker(geo)
+    infos = []
+    for k, c in enumerate(geo.components):
+        rstn = c.segment_mcu_count
+        S = c.segment_count
+        Sp = -(-S // 128) * 128
+        vm = np.zeros((rstn, Sp), np.int32)
+        vm[:, :S] = (np.arange(S * rstn).reshape(S, rstn)
+                     < c.mcu_count).T
+        infos.append(dict(
+            valid=vm, luma=(c.table_index == 0),
+            rst=rst_all[int(lb[k]):int(lb[k + 1])], S=S, Sp=Sp,
+            dct_key=(quality, c.table_index == 0, rstn, use_bf16)))
+
+    def fn(raw):
+        raw = apply_pre_transform(raw, pre)
+        planes = sample.preprocess(raw, geo, geo.param_image)
+        out = []
+        for c in geo.components:
+            rstn = c.segment_mcu_count
+            S = c.segment_count
+            Sp = -(-S // 128) * 128
+            bpr = c.data_width // 8
+            plane = planes[c.index]
+            if bpr % rstn == 0 and S * rstn == c.mcu_count:
+                H, W = plane.shape
+                nbh, nsr = H // 8, bpr // rstn
+                x = plane.reshape(nbh, 8, nsr, rstn, 8)
+                x = x.transpose(3, 1, 4, 0, 2).reshape(rstn * 64,
+                                                       nbh * nsr)
+            else:
+                xt = dct.plane_to_blocks_t(plane)       # (64, nblocks)
+                padB = S * rstn - c.mcu_count
+                if padB:
+                    xt = jnp.pad(xt, ((0, 0), (0, padB)))
+                x = xt.reshape(64, S, rstn).transpose(2, 0, 1) \
+                    .reshape(rstn * 64, S)
+            if Sp != x.shape[1]:
+                x = jnp.pad(x, ((0, 0), (0, Sp - x.shape[1])))
+            out.append(x)
+        return out
+
+    return fn, infos
 
 
 def initial_fused_caps(geo: Geometry,
@@ -532,8 +629,13 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
         from ..ops import fusedpack
 
         interp = fused_mode() == "interpret"
-        coefs_impl = make_rows_coefs_impl(geo, pre)
+        xbd_impl, xbd_infos = make_rows_xbd_impl(geo, pre)
         consts = tables.entropy_kernel_consts(geo.param.quality)
+        # lane-padded scan bounds (mega_lane_bounds); scans == components
+        lb = mega_lane_bounds(geo)
+        real = np.diff(geo.scan_seg_bounds)
+        scan_first = lb[:-1].astype(np.int32)
+        scan_last = (lb[:-1] + real - 1).astype(np.int32)
     else:
         tokens_impl = make_rows_tokens_impl(geo, pre, pairs=pairs)
     if fused:
@@ -543,19 +645,34 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
 
     def fn(raw):
         if mega:
-            coefs_t, valid_t, luma_t = coefs_impl(raw)
-            rows, out_bytes, needs = fusedpack.entropy_fused(
-                coefs_t, jnp.asarray(valid_t), jnp.asarray(luma_t),
-                geo.rst_marker, z_cap=caps.z_cap, w_out=caps.w_out,
-                consts=consts, interpret=interp,
-                compact_after=caps.compact)
+            # one DCT-fused kernel call per component (128-lane-padded
+            # bounds make every tile single-component); the coefficient
+            # plane never exists in HBM, and per-scan row buffers go
+            # straight to assembly without a cross-component concat
+            xbds = xbd_impl(raw)
+            rows_l, ob_l, needs_l = [], [], []
+            for xbd, info in zip(xbds, xbd_infos):
+                luma_t = np.full((1, info["Sp"]),
+                                 1 if info["luma"] else 0, np.int32)
+                r, ob, nd = fusedpack.entropy_fused_u8(
+                    xbd, jnp.asarray(info["valid"]),
+                    jnp.asarray(luma_t), info["rst"],
+                    z_cap=caps.z_cap, w_out=caps.w_out, consts=consts,
+                    dct_key=info["dct_key"], interpret=interp,
+                    compact_after=caps.compact)
+                rows_l.append(r)
+                ob_l.append(ob)
+                needs_l.append(nd)
+            out_bytes = jnp.concatenate(ob_l)
+            needs = functools.reduce(jnp.maximum, needs_l)
             cs = jnp.cumsum(out_bytes)
             scan_start = (cs - out_bytes)[jnp.asarray(scan_first)]
             scan_end = cs[jnp.asarray(scan_last)]
             meta = jnp.concatenate([
                 needs, scan_start, scan_end, cs[-1:],
             ]).astype(jnp.int32)
-            return {"rows": rows, "row_bytes": out_bytes, "meta": meta}
+            return {"rows": tuple(rows_l), "row_bytes": out_bytes,
+                    "meta": meta}
         bits, lens = tokens_impl(raw)
         if fused:
             if pairs:
@@ -795,16 +912,30 @@ class Encoder:
 
                 if mega_caps_ok(geo, caps, needs):
                     # one-time tightening: the first legal frame's exact
-                    # level maxima may admit a more aggressive schedule
+                    # level maxima may admit a more aggressive schedule,
+                    # and the initial worst-case-ish w_out is usually
+                    # far above the realized row size — every extra word
+                    # costs HBM on the rows transpose + host fetch, so
+                    # shrink-to-fit (x1.3 content margin, x1.6
+                    # hysteresis; the growth protocol still covers
+                    # denser future frames)
                     w_need = -(-int(needs[-1]) // 4) + 2
                     C2, D = mega_geometry(geo)
                     best = derive_mega_schedule(needs[:D], C2, w_need)
-                    if len(best) > len(caps.compact) \
+                    w_fit = max(-(-int(needs[D - 1]) // 32), w_need)
+                    w_tgt = int(w_fit * 1.3) + (caps.z_cap + 2 + 3) // 4 \
+                        + 1
+                    shrink = caps.w_out > int(w_tgt * 1.6)
+                    if (len(best) > len(caps.compact) or shrink) \
                             and not getattr(self, "_mega_tight", {}) \
                             .get(geo):
                         self._mega_tight = getattr(self, "_mega_tight", {})
                         self._mega_tight[geo] = True
-                        caps = dataclasses.replace(caps, compact=best)
+                        caps = dataclasses.replace(
+                            caps,
+                            compact=(best if len(best) > len(caps.compact)
+                                     else caps.compact),
+                            w_out=min(caps.w_out, w_tgt))
                         self._caps[geo] = caps
                         continue
                     return geo, res, meta
@@ -844,10 +975,18 @@ class Encoder:
         scan_start = meta[base:base + ns]
         scan_end = meta[base + ns:base + 2 * ns]
 
-        rows = np.asarray(res["rows"])
         row_bytes = np.asarray(res["row_bytes"])
-        by = np.ascontiguousarray(rows.astype(">u4")).view(np.uint8)
-        by = by.reshape(rows.shape[0], -1)
+
+        def rowbytes_u8(rows):
+            by = np.ascontiguousarray(rows.astype(">u4")).view(np.uint8)
+            return by.reshape(rows.shape[0], -1)
+
+        per_scan = isinstance(res["rows"], (tuple, list))
+        if not per_scan:
+            by_all = rowbytes_u8(np.asarray(res["rows"]))
+            padded = by_all.shape[0] > geo.segment_count
+        else:
+            padded = True   # per-scan buffers are 128-lane padded
 
         from .. import native
 
@@ -856,14 +995,25 @@ class Encoder:
             exif_tags=self.exif_tags or None,
             header_type=self.header_type_override))
         want_seginfo = geo.param.segment_info or self.segment_info
+        # megakernel rows are 128-lane padded per scan (mega_lane_bounds);
+        # padding rows emit 0 bytes, so slicing the real count suffices
+        lb = mega_lane_bounds(geo) if padded else geo.scan_seg_bounds
         for k in range(ns):
-            b0, b1 = geo.scan_seg_bounds[k], geo.scan_seg_bounds[k + 1]
+            b0 = int(lb[k])
+            nrow = int(geo.scan_seg_bounds[k + 1]
+                       - geo.scan_seg_bounds[k])
+            if per_scan:
+                by = rowbytes_u8(np.asarray(res["rows"][k]))[:nrow]
+                rb = row_bytes[b0:b0 + nrow]
+            else:
+                by = by_all[b0:b0 + nrow]
+                rb = row_bytes[b0:b0 + nrow]
             if want_seginfo and geo.param.restart_interval > 0:
                 offs = np.concatenate(
-                    [[0], np.cumsum(row_bytes[b0:b1])]).astype(np.int64)
+                    [[0], np.cumsum(rb)]).astype(np.int64)
                 out += jwriter.write_segment_info_headers(k, offs)
             out += jwriter.write_scan_header(geo, k)
-            out += native.assemble_rows(by[b0:b1], row_bytes[b0:b1])
+            out += native.assemble_rows(by, rb)
         out += b"\xff\xd9"
         return bytes(out)
 

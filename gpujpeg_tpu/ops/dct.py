@@ -116,6 +116,54 @@ def fdct_quantize_t(plane: jnp.ndarray, qtab_zz: np.ndarray) -> jnp.ndarray:
     return jnp.round(y).astype(jnp.int16)
 
 
+def fdct_quantize_bd(plane: jnp.ndarray, qtab_zz: np.ndarray,
+                     rst: int) -> jnp.ndarray:
+    """Forward DCT + quantize straight into the entropy megakernel's
+    SEGMENT-COLUMN layout: (H, W) samples -> (rst*64, S) int16 zig-zag
+    coefficients, sublane = block-within-segment * 64 + zz, lane =
+    segment (raster order).
+
+    One block-diagonal MXU matmul (kron(I_rst, Mq), e.g. 512x512 for
+    rst=8) replaces the per-block (64,64) matmul PLUS the whole
+    post-matmul regroup chain ((64,S,rst) transposes + concat
+    dynamic-update-slices, ~1 GB of copies at 8K).  Requires segments
+    that do not wrap block rows: blocks_per_row % rst == 0 (true for
+    every standard width at the tuned rst=8; the caller falls back to
+    fdct_quantize_t otherwise).
+    """
+    H, W = plane.shape
+    nbh, bpr = H // 8, W // 8
+    assert bpr % rst == 0
+    nsr = bpr // rst
+    x = plane.reshape(nbh, 8, nsr, rst, 8)
+    x = x.transpose(3, 1, 4, 0, 2).reshape(rst * 64, nbh * nsr)
+    Mq, bias = tables.fdct_fused_matrix(np.asarray(qtab_zz))
+    bias_t = np.tile(np.asarray(bias), rst)[:, None]
+    if _use_split_bf16():
+        hi = Mq.astype(np.float32).astype(jnp.bfloat16)
+        lo = (Mq.astype(np.float32) - np.asarray(hi).astype(np.float32)
+              ).astype(jnp.bfloat16)
+        bd_hi = np.kron(np.eye(rst, dtype=np.float32),
+                        np.asarray(hi).T.astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        bd_lo = np.kron(np.eye(rst, dtype=np.float32),
+                        np.asarray(lo).T.astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        xb = x.astype(jnp.bfloat16)
+        y = (jnp.dot(jnp.asarray(bd_hi), xb,
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(jnp.asarray(bd_lo), xb,
+                       preferred_element_type=jnp.float32))
+    else:
+        bd = np.kron(np.eye(rst, dtype=np.float64), np.asarray(Mq).T)
+        y = jnp.dot(jnp.asarray(bd.astype(np.float32)),
+                    x.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    y = y + jnp.asarray(bias_t.astype(np.float32))
+    return jnp.round(y).astype(jnp.int16)
+
+
 def dequantize_idct_traced(coefs: jnp.ndarray, qtab_zz: jnp.ndarray,
                            H: int, W: int) -> jnp.ndarray:
     """Dequant + IDCT with a runtime quant table (decoder path: the table

@@ -369,11 +369,42 @@ def make_deep_stuff_kernel(N0: int, D: int, W_out: int, z_cap: int,
 # pass.
 # --------------------------------------------------------------------------
 
-def _entropy_kernel_body(c_ref, valid_ref, luma_ref, rst_ref, out_ref,
-                         ob_ref, needs_ref, *, C: int, B: int, D: int,
+def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
                          W_out: int, W_stuff: int, z_cap: int, consts,
-                         compact_after=()):
-    v = c_ref[:, :].astype(jnp.int32)          # (C, R) coefficients
+                         compact_after=(), dct_bias=None,
+                         dct_nmat: int = 0):
+    mats = refs[:dct_nmat]
+    valid_ref, luma_ref, rst_ref, out_ref, ob_ref, needs_ref = \
+        refs[dct_nmat:]
+    if dct_nmat:
+        # fused forward DCT: u8 block-diagonal patches in, quantized
+        # zig-zag coefficients produced ON THE MXU inside the kernel —
+        # the (C, R) int16 coefficient plane never exists in HBM (its
+        # materialize + layout-convert + re-read chain cost ~10 ms at 8K)
+        # Mosaic has no direct u8 -> float cast; widen to i32 first
+        xi = c_ref[:, :].astype(jnp.int32)
+        if dct_nmat == 1:      # exact-f32 path (CPU/interpret parity)
+            y = jnp.dot(mats[0][:, :], xi.astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        else:
+            xb = xi.astype(jnp.float32).astype(jnp.bfloat16)
+            y = (jnp.dot(mats[0][:, :], xb,
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(mats[1][:, :], xb,
+                           preferred_element_type=jnp.float32))
+        # bias (the folded -128 level shift) is per-COEFFICIENT-SLOT:
+        # rebuild it from python scalars via a select chain on zz
+        # (array closures are not allowed in pallas kernels)
+        zz64 = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) & 63
+        bias = jnp.zeros(y.shape, jnp.float32)
+        for z in range(64):
+            bz = float(dct_bias[z])
+            if bz != 0.0:
+                bias = jnp.where(zz64 == z, jnp.float32(bz), bias)
+        v = jnp.round(y + bias).astype(jnp.int32)
+    else:
+        v = c_ref[:, :].astype(jnp.int32)      # (C, R) coefficients
     R = v.shape[1]
     sub = jax.lax.broadcasted_iota(jnp.int32, (C, R), 0)
     zz = sub & 63                              # position within block
@@ -465,15 +496,23 @@ def _entropy_kernel_body(c_ref, valid_ref, luma_ref, rst_ref, out_ref,
 
 def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
                         R_tile: int = 128, interpret: bool = False,
-                        compact_after=()):
-    """(coefs_t (C, Rp) i16, valid_t (B, Rp) i32, luma_t (1, Rp) i32,
-    rst (1, Rp) i32) -> (out_t (W_out, Rp) u32, out_bytes (1, Rp) i32,
-    needs (D+2,) i32).  C must be a power of two (pad with valid=0)."""
+                        compact_after=(), dct=None):
+    """(coefs_t (C, Rp) i16 — or u8 sample patches when dct is given,
+    valid_t (B, Rp) i32, luma_t (1, Rp) i32, rst (1, Rp) i32) ->
+    (out_t (W_out, Rp) u32, out_bytes (1, Rp) i32, needs (D+2,) i32).
+    C must be a power of two (pad with valid=0)."""
     assert C & (C - 1) == 0 and C >= 64
     D = C.bit_length() - 1
+    mats = ()
+    dct_bias = None
+    if dct is not None:
+        bd_hi, bd_lo, bias = dct
+        mats = (bd_hi,) if bd_lo is None else (bd_hi, bd_lo)
+        dct_bias = tuple(float(b) for b in np.asarray(bias)[:64])
     kernel = functools.partial(
         _entropy_kernel_body, C=C, B=B, D=D, W_out=W_out, W_stuff=W_out,
-        z_cap=z_cap, consts=consts, compact_after=tuple(compact_after))
+        z_cap=z_cap, consts=consts, compact_after=tuple(compact_after),
+        dct_bias=dct_bias, dct_nmat=len(mats))
 
     def fn(coefs_t, valid_t, luma_t, rst):
         Rall = coefs_t.shape[1]
@@ -484,12 +523,16 @@ def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
             valid_t = jnp.pad(valid_t, ((0, 0), (0, Rp - Rall)))
             luma_t = jnp.pad(luma_t, ((0, 0), (0, Rp - Rall)))
             rst = jnp.pad(rst, ((0, 0), (0, Rp - Rall)))
+        mat_specs = [pl.BlockSpec((C, C), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+                     for _ in mats]
         out_t, ob, needs = pl.pallas_call(
             kernel,
             grid=(G,),
             in_specs=[
                 pl.BlockSpec((C, R_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
+                *mat_specs,
                 pl.BlockSpec((B, R_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, R_tile), lambda i: (0, i),
@@ -511,7 +554,8 @@ def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
                 jax.ShapeDtypeStruct((8, 128), jnp.int32),
             ],
             interpret=interpret,
-        )(coefs_t, valid_t, luma_t, rst)
+        )(coefs_t, *[jnp.asarray(m) for m in mats],
+          valid_t, luma_t, rst)
         return out_t[:, :Rall], ob[0, :Rall], needs[0, : D + 2]
 
     return fn
@@ -522,6 +566,72 @@ def _cached_entropy_kernel(C, W_out, z_cap, B, consts, R_tile, interpret,
                            compact_after=()):
     return make_entropy_kernel(C, W_out, z_cap, B, consts, R_tile,
                                interpret, compact_after)
+
+
+@functools.lru_cache(maxsize=64)
+def _dct_consts(dct_key, C: int):
+    """Padded block-diagonal DCT matrices for the in-kernel forward DCT.
+
+    dct_key = (quality, luma, rst, use_bf16); returns (bd_hi, bd_lo,
+    bias) with bd shapes (C, C) (zero-padded beyond rst*64) —
+    bit-identical math to dct.fdct_quantize_bd / fdct_quantize_t."""
+    from ..utils import tables as _t
+
+    quality, luma, rst, use_bf16 = dct_key
+    qtab = _t.quant_table_zz(luma, quality)
+    Mq, bias = _t.fdct_fused_matrix(np.asarray(qtab))
+    C0 = rst * 64
+    bias_t = np.zeros(C, np.float32)
+    bias_t[:C0] = np.tile(np.asarray(bias, np.float32), rst)
+    if use_bf16:
+        hi = np.asarray(Mq.astype(np.float32).astype(jnp.bfloat16))
+        lo = (Mq.astype(np.float32) - hi.astype(np.float32))
+        bd_hi = np.zeros((C, C), np.float32)
+        bd_lo = np.zeros((C, C), np.float32)
+        bd_hi[:C0, :C0] = np.kron(np.eye(rst, dtype=np.float32),
+                                  hi.T.astype(np.float32))
+        bd_lo[:C0, :C0] = np.kron(np.eye(rst, dtype=np.float32),
+                                  lo.T.astype(np.float32))
+        return (bd_hi.astype(jnp.bfloat16), bd_lo.astype(jnp.bfloat16),
+                bias_t)
+    bd = np.zeros((C, C), np.float32)
+    bd[:C0, :C0] = np.kron(np.eye(rst, dtype=np.float64),
+                           np.asarray(Mq).T).astype(np.float32)
+    return (bd, None, bias_t)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_entropy_kernel_u8(C, W_out, z_cap, B, consts, R_tile,
+                              interpret, compact_after, dct_key):
+    return make_entropy_kernel(C, W_out, z_cap, B, consts, R_tile,
+                               interpret, compact_after,
+                               dct=_dct_consts(dct_key, C))
+
+
+def entropy_fused_u8(xbd: jnp.ndarray, valid_t, luma_t, rst_marker,
+                     z_cap: int, w_out: int, consts, dct_key,
+                     interpret: bool = False, compact_after=()):
+    """entropy_fused variant with the forward DCT fused INTO the kernel.
+
+    xbd: (C0, R) uint8 block-diagonal sample patches (see
+    dct.fdct_quantize_bd's input layout: sublane = block-within-segment
+    * 64 + r*8 + c, lane = segment); dct_key = (quality, luma, rst,
+    use_bf16) selects the in-kernel quantizing DCT matrices.  Everything
+    else matches entropy_fused.
+    """
+    C0, R = xbd.shape
+    C = pow2_ge(max(C0, 64))
+    B = C // 64
+    if C != C0:
+        xbd = jnp.pad(xbd, ((0, C - C0), (0, 0)))
+    if B != valid_t.shape[0]:
+        valid_t = jnp.pad(valid_t, ((0, B - valid_t.shape[0]), (0, 0)))
+    rst = jnp.asarray(rst_marker).astype(jnp.int32).reshape(1, R)
+    fn = _cached_entropy_kernel_u8(C, w_out, z_cap, B, consts, 128,
+                                   interpret, tuple(compact_after),
+                                   dct_key)
+    out_t, ob, needs = fn(xbd, valid_t, luma_t, rst)
+    return out_t.T, ob, needs
 
 
 def entropy_fused(coefs_t: jnp.ndarray, valid_t: jnp.ndarray,

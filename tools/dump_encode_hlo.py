@@ -33,6 +33,12 @@ def main():
     compiled = lowered.compile()
     txt = compiled.as_text()
     print(f"HLO text: {len(txt)} chars", file=sys.stderr)
+    # keep only the ENTRY computation: ops here materialize buffers;
+    # ops inside fusion bodies do not
+    m = re.search(r"^ENTRY [^\n]*\{(.*?)^\}", txt, re.M | re.S)
+    if m:
+        txt = m.group(1)
+        print(f"ENTRY: {len(txt)} chars", file=sys.stderr)
 
     # histogram ops by opcode and total output bytes
     sizes = {}

@@ -113,6 +113,7 @@ def main():
     if mega:
         coefs_impl = enc_mod.make_rows_coefs_impl(geo)
         consts = tables.entropy_kernel_consts(geo.param.quality)
+        rst_mega = enc_mod.mega_rst_marker(geo)
         ct0, vt0, lt0 = jax.jit(coefs_impl)(frame)
         ct0 = jax.block_until_ready(ct0)
         vt0 = jnp.asarray(vt0)
@@ -132,11 +133,48 @@ def main():
             def lp(ct, _unused):
                 def body(i, carry):
                     rows, ob, needs = fusedpack.entropy_fused(
-                        ct.at[0, 0].set(carry), vt0, lt0, geo.rst_marker,
+                        ct.at[0, 0].set(carry), vt0, lt0, rst_mega,
                         z_cap=caps.z_cap, w_out=caps.w_out, consts=consts,
                         compact_after=caps.compact)
                     return rows.reshape(-1)[0].astype(jnp.int16)
                 return jax.lax.fori_loop(0, n, body, jnp.int16(0))
+            return lp
+
+        def mk_chain(n):
+            @jax.jit
+            def lp(raw):
+                def body(i, carry):
+                    ct, vt, lt = coefs_impl(raw.at[0, 0, 0].set(carry))
+                    rows, ob, needs = fusedpack.entropy_fused(
+                        ct, jnp.asarray(vt), jnp.asarray(lt),
+                        rst_mega, z_cap=caps.z_cap,
+                        w_out=caps.w_out, consts=consts,
+                        compact_after=caps.compact)
+                    return rows.reshape(-1)[0].astype(jnp.uint8)
+                return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
+            return lp
+
+        def mk_chain_meta(n):
+            scan_first = geo.scan_seg_bounds[:-1].astype(np.int32)
+            scan_last = (geo.scan_seg_bounds[1:] - 1).astype(np.int32)
+
+            @jax.jit
+            def lp(raw):
+                def body(i, carry):
+                    ct, vt, lt = coefs_impl(raw.at[0, 0, 0].set(carry))
+                    rows, ob, needs = fusedpack.entropy_fused(
+                        ct, jnp.asarray(vt), jnp.asarray(lt),
+                        rst_mega, z_cap=caps.z_cap,
+                        w_out=caps.w_out, consts=consts,
+                        compact_after=caps.compact)
+                    cs = jnp.cumsum(ob)
+                    meta = jnp.concatenate([
+                        needs, (cs - ob)[jnp.asarray(scan_first)],
+                        cs[jnp.asarray(scan_last)], cs[-1:],
+                    ]).astype(jnp.int32)
+                    return (meta[-1] + rows.reshape(-1)[0].astype(
+                        jnp.int32)).astype(jnp.uint8)
+                return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
             return lp
 
         bits0, lens0 = ct0, ct0
@@ -170,6 +208,8 @@ def main():
             ("FULL", mk_full, (frame,))]
     if mega:
         jobs.insert(1, ("coefs_t (mega)", mk_coefs, (frame,)))
+        jobs.insert(3, ("coefs+kernel", mk_chain, (frame,)))
+        jobs.insert(4, ("chain+meta", mk_chain_meta, (frame,)))
     else:
         jobs.insert(1, ("pre+dct+tok", mk_tokens, (frame,)))
     for name, mk, args in jobs:
