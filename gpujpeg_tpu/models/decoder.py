@@ -209,11 +209,23 @@ def _make_idct_post_fn_t(geo: Geometry):
             x = jnp.dot(jnp.asarray(N.T), y,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
-            # u8 before the relayout: the interleaving transpose is
-            # bandwidth-bound (8.4 ms in i32 vs 3.8 ms in u8 at 8K)
-            x = jnp.clip(jnp.round(x + 128.0), 0, 255).astype(jnp.uint8)
+            x = jnp.clip(jnp.round(x + 128.0), 0, 255).astype(jnp.int32)
+            # pack 4 horizontal samples (sublane quads: q = r*8+c, quads
+            # over c%4) into one u32 word BEFORE the block->plane
+            # relayout: the transpose cost is per-ELEMENT shuffle-bound,
+            # so moving words instead of bytes cuts it ~4x (the u8
+            # variant cost 3.8 ms at 8K); the pack fuses into the matmul
+            # epilogue and the unpack reshape (H, W/4, 4)->(H, W) is a
+            # contiguous no-op that fuses into the postprocessor
+            # sublane-quad pack: the strided reads are on the MAJOR dims
+            # ((16, 4, nb) with nb contiguous), which XLA slices cheaply
+            xw = x.reshape(16, 4, -1).astype(jnp.uint32)
+            w = (xw[:, 0] | (xw[:, 1] << 8) | (xw[:, 2] << 16)
+                 | (xw[:, 3] << 24))
             nbh, nbw = c.data_height // 8, c.data_width // 8
-            plane = x.reshape(8, 8, nbh, nbw).transpose(2, 0, 3, 1) \
+            p32 = w.reshape(8, 2, nbh, nbw).transpose(2, 0, 3, 1) \
+                .reshape(c.data_height, c.data_width // 4)
+            plane = jax.lax.bitcast_convert_type(p32, jnp.uint8) \
                 .reshape(c.data_height, c.data_width)
             planes.append(plane)
             base += S

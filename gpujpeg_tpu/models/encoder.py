@@ -468,57 +468,91 @@ def make_rows_coefs_impl(geo: Geometry, pre=None):
 
 
 def make_rows_xbd_impl(geo: Geometry, pre=None):
-    """raw -> list of per-component (C0, Sp) uint8 block-diagonal sample
-    patches for the DCT-fused entropy megakernel (entropy_fused_u8),
+    """raw -> list of per-component (C0/4, Sp) uint32 PACKED block-diagonal
+    sample patches for the DCT-fused entropy megakernel (entropy_fused_u8),
     plus static per-component metadata.
 
-    Returns (fn, infos): fn(raw) -> [xbd_c ...]; infos[c] = dict with
-    valid (B, Sp) i32, luma (bool), rst (Sp,) marker array, S real rows,
-    dct_key.  Lane counts are 128-padded (mega_lane_bounds) so every
-    kernel tile is single-component."""
+    Samples are packed 4-per-word (sample b*64+r*8+c = byte c%4 of word
+    b*16+r*2+c//4) BEFORE the block-diagonal transpose: the pack is
+    elementwise (it fuses into the preprocessor) and the relayout then
+    moves 4x fewer elements — XLA's u8 transpose cost is per-ELEMENT
+    shuffle-bound, so this cut the 8K xbd feed from ~14 ms to ~1/4 of
+    that.  The kernel unpacks in VMEM (sublane repeat + shift).
+
+    Returns (fn, infos): fn(raw) -> [xbd32_c ...]; infos[c] = dict with
+    valid (B, S) i32, luma (bool), rst (S,) marker array, S real rows,
+    dct_key.  Lane counts are EXACT per component — the entropy kernel
+    masks its ragged last tile in-kernel (an XLA lane pad cost ~2.3 ms
+    at 8K)."""
     assert not geo.interleaved
     use_bf16 = dct._use_split_bf16()
     quality = geo.param.quality
-    lb = mega_lane_bounds(geo)
-    rst_all = mega_rst_marker(geo)
     infos = []
     for k, c in enumerate(geo.components):
         rstn = c.segment_mcu_count
         S = c.segment_count
-        Sp = -(-S // 128) * 128
-        vm = np.zeros((rstn, Sp), np.int32)
-        vm[:, :S] = (np.arange(S * rstn).reshape(S, rstn)
-                     < c.mcu_count).T
+        b0 = int(geo.scan_seg_bounds[k])
+        vm = (np.arange(S * rstn).reshape(S, rstn)
+              < c.mcu_count).T.astype(np.int32)
         infos.append(dict(
             valid=vm, luma=(c.table_index == 0),
-            rst=rst_all[int(lb[k]):int(lb[k + 1])], S=S, Sp=Sp,
+            rst=np.asarray(geo.rst_marker[b0:b0 + S]), S=S,
             dct_key=(quality, c.table_index == 0, rstn, use_bf16)))
 
+    def pack_lanes(p):
+        # (H, W) u8 -> (H, W/4) u32, word = 4 horizontal samples.  The
+        # byte order is little-endian on TPU and CPU alike, matching the
+        # kernel's (w >> 8k) & 255 unpack; bitcast of the contiguous
+        # minor dim is a layout NO-OP (the arithmetic shift/or
+        # formulation cost ~3.4 ms at 8K from strided u8 reads)
+        return jax.lax.bitcast_convert_type(
+            p.reshape(p.shape[0], -1, 4), jnp.uint32)
+
+    def pack_subs(x):
+        # (C0, S) u8 -> (C0/4, S) u32, word = 4 consecutive sublanes:
+        # bitcast packs the contiguous minor dim, so transpose first
+        # ((S, C0/4, 4) is the same data minor-major), bitcast, and
+        # transpose back — rare fallback path, perf uncritical
+        b = jax.lax.bitcast_convert_type(
+            x.T.reshape(x.shape[1], -1, 4), jnp.uint32)
+        return b.transpose(1, 0)
+
+    interp = fused_mode() == "interpret"
+
     def fn(raw):
+        from ..ops import prepost_kernel
+
         raw = apply_pre_transform(raw, pre)
-        planes = sample.preprocess(raw, geo, geo.param_image)
+        # fast path: Pallas preprocessor emits packed-u32 planes directly
+        # (XLA's interleaved-channel reads cost ~4.5 ms at 8K; the kernel
+        # does transpose + byte math + bitcast packing in VMEM)
+        packed = prepost_kernel.preprocess_packed(
+            raw, geo, geo.param_image, interpret=interp) \
+            if raw.ndim == 3 else None
+        planes = None if packed is not None \
+            else sample.preprocess(raw, geo, geo.param_image)
         out = []
         for c in geo.components:
             rstn = c.segment_mcu_count
             S = c.segment_count
-            Sp = -(-S // 128) * 128
             bpr = c.data_width // 8
-            plane = planes[c.index]
             if bpr % rstn == 0 and S * rstn == c.mcu_count:
-                H, W = plane.shape
-                nbh, nsr = H // 8, bpr // rstn
-                x = plane.reshape(nbh, 8, nsr, rstn, 8)
-                x = x.transpose(3, 1, 4, 0, 2).reshape(rstn * 64,
+                nbh, nsr = c.data_height // 8, bpr // rstn
+                p32 = (packed[c.index] if packed is not None
+                       else pack_lanes(planes[c.index]))
+                x = p32.reshape(nbh, 8, nsr, rstn, 2)
+                x = x.transpose(3, 1, 4, 0, 2).reshape(rstn * 16,
                                                        nbh * nsr)
             else:
-                xt = dct.plane_to_blocks_t(plane)       # (64, nblocks)
+                if planes is None:
+                    planes = sample.preprocess(raw, geo, geo.param_image)
+                xt = dct.plane_to_blocks_t(planes[c.index])  # (64, nblk)
                 padB = S * rstn - c.mcu_count
                 if padB:
                     xt = jnp.pad(xt, ((0, 0), (0, padB)))
                 x = xt.reshape(64, S, rstn).transpose(2, 0, 1) \
                     .reshape(rstn * 64, S)
-            if Sp != x.shape[1]:
-                x = jnp.pad(x, ((0, 0), (0, Sp - x.shape[1])))
+                x = pack_subs(x)
             out.append(x)
         return out
 
@@ -631,11 +665,6 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
         interp = fused_mode() == "interpret"
         xbd_impl, xbd_infos = make_rows_xbd_impl(geo, pre)
         consts = tables.entropy_kernel_consts(geo.param.quality)
-        # lane-padded scan bounds (mega_lane_bounds); scans == components
-        lb = mega_lane_bounds(geo)
-        real = np.diff(geo.scan_seg_bounds)
-        scan_first = lb[:-1].astype(np.int32)
-        scan_last = (lb[:-1] + real - 1).astype(np.int32)
     else:
         tokens_impl = make_rows_tokens_impl(geo, pre, pairs=pairs)
     if fused:
@@ -652,7 +681,7 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
             xbds = xbd_impl(raw)
             rows_l, ob_l, needs_l = [], [], []
             for xbd, info in zip(xbds, xbd_infos):
-                luma_t = np.full((1, info["Sp"]),
+                luma_t = np.full((1, info["S"]),
                                  1 if info["luma"] else 0, np.int32)
                 r, ob, nd = fusedpack.entropy_fused_u8(
                     xbd, jnp.asarray(info["valid"]),
@@ -986,7 +1015,10 @@ class Encoder:
             by_all = rowbytes_u8(np.asarray(res["rows"]))
             padded = by_all.shape[0] > geo.segment_count
         else:
-            padded = True   # per-scan buffers are 128-lane padded
+            # per-scan row counts are exact in the ragged-lane layout;
+            # older padded layouts carried 128-multiple rows per scan
+            padded = (sum(r.shape[0] for r in res["rows"])
+                      > geo.segment_count)
 
         from .. import native
 
@@ -995,8 +1027,8 @@ class Encoder:
             exif_tags=self.exif_tags or None,
             header_type=self.header_type_override))
         want_seginfo = geo.param.segment_info or self.segment_info
-        # megakernel rows are 128-lane padded per scan (mega_lane_bounds);
-        # padding rows emit 0 bytes, so slicing the real count suffices
+        # padded layouts: padding rows emit 0 bytes, so slicing the real
+        # count suffices
         lb = mega_lane_bounds(geo) if padded else geo.scan_seg_bounds
         for k in range(ns):
             b0 = int(lb[k])

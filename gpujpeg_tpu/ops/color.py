@@ -93,6 +93,35 @@ def transform_steps(src: ColorSpace, dst: ColorSpace) -> List[Tuple[str, ColorSp
     return steps
 
 
+def convert_channels(c0, c1, c2, src: ColorSpace, dst: ColorSpace):
+    """Tuple-of-planes variant of convert(): transforms three integer
+    channel arrays elementwise without stacking a (..., 3) axis — the
+    form usable inside Pallas kernels (where a minor stacked axis would
+    wreck the tiling) and shared with the XLA path for testability.
+
+    Returns (c0', c1', c2') int32 in [0, 255]."""
+    ch = (c0.astype(jnp.int32), c1.astype(jnp.int32), c2.astype(jnp.int32))
+    for direction, cs in transform_steps(src, dst):
+        if direction == "from":
+            mat, base = _TO_RGB[cs]
+            m = np.asarray(mat, dtype=np.int64).reshape(3, 3)
+            r = tuple(_scale_255_to_256_trunc(ch[i] - int(base[i]))
+                      for i in range(3))
+            ch = tuple(jnp.clip(
+                (r[0] * int(m[i][0]) + r[1] * int(m[i][1])
+                 + r[2] * int(m[i][2]) + 128) >> 8, 0, 255)
+                for i in range(3))
+        else:
+            mat, base = _FROM_RGB[cs]
+            m = np.asarray(mat, dtype=np.int64).reshape(3, 3)
+            r = tuple(_scale_255_to_256(ch[i]) for i in range(3))
+            ch = tuple(jnp.clip(
+                ((r[0] * int(m[i][0]) + r[1] * int(m[i][1])
+                  + r[2] * int(m[i][2]) + 128) >> 8) + int(base[i]),
+                0, 255) for i in range(3))
+    return ch
+
+
 def convert(c, src: ColorSpace, dst: ColorSpace):
     """Transform (..., 3) integer channels from `src` to `dst` color space.
 

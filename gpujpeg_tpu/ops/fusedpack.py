@@ -105,7 +105,7 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
 
 
 def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
-                    z_cap: int, compact_after=()):
+                    z_cap: int, compact_after=(), stop_after=None):
     """Shared VMEM back-end: in-place span-doubling merge tree over (N0, R)
     left-aligned word buffers, F.1.2.3 padding, byte stuffing, RST append.
 
@@ -182,6 +182,8 @@ def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
             sub = jax.lax.broadcasted_iota(jnp.int32, (N, R), 0)
 
     row_bits = blen[0:1, :]               # replicated; any sublane works
+    if stop_after == "tree":
+        return x, row_bits, needs_vals
 
     # ---- trim to the stuffing working set ----
     if W_stuff <= N:
@@ -372,17 +374,32 @@ def make_deep_stuff_kernel(N0: int, D: int, W_out: int, z_cap: int,
 def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
                          W_out: int, W_stuff: int, z_cap: int, consts,
                          compact_after=(), dct_bias=None,
-                         dct_nmat: int = 0):
+                         dct_nmat: int = 0, stop_after=None,
+                         Rall: int = 0):
+    def _early_out(val, out_ref, ob_ref, needs_ref):
+        # profiling stub: consume `val` with a real reduction so nothing
+        # upstream is dead-code-eliminated, then return
+        m = jnp.max(val.astype(jnp.int32), axis=0, keepdims=True)
+        out_ref[:, :] = jnp.broadcast_to(m.astype(jnp.uint32),
+                                         out_ref.shape)
+        ob_ref[:, :] = m
+        _write_needs(needs_ref, [jnp.max(m)] * (D + 2))
     mats = refs[:dct_nmat]
     valid_ref, luma_ref, rst_ref, out_ref, ob_ref, needs_ref = \
         refs[dct_nmat:]
     if dct_nmat:
-        # fused forward DCT: u8 block-diagonal patches in, quantized
-        # zig-zag coefficients produced ON THE MXU inside the kernel —
-        # the (C, R) int16 coefficient plane never exists in HBM (its
-        # materialize + layout-convert + re-read chain cost ~10 ms at 8K)
-        # Mosaic has no direct u8 -> float cast; widen to i32 first
-        xi = c_ref[:, :].astype(jnp.int32)
+        # fused forward DCT: PACKED u32 block-diagonal patches in (4
+        # samples per word — the host-side transpose then moves 4x fewer
+        # elements), quantized zig-zag coefficients produced ON THE MXU
+        # inside the kernel — the (C, R) int16 coefficient plane never
+        # exists in HBM (its materialize + layout-convert + re-read chain
+        # cost ~10 ms at 8K).  Unpack: sublane-repeat x4 + per-sublane
+        # byte shift (sample 4g+k = byte k of word g).
+        w = c_ref[:, :]                        # (C/4, R) u32
+        w4 = jnp.repeat(w, 4, axis=0)          # (C, R), element-repeat
+        ksub = jax.lax.broadcasted_iota(jnp.int32, w4.shape, 0) & 3
+        xi = ((w4 >> (ksub * 8).astype(jnp.uint32))
+              & jnp.uint32(0xFF)).astype(jnp.int32)
         if dct_nmat == 1:      # exact-f32 path (CPU/interpret parity)
             y = jnp.dot(mats[0][:, :], xi.astype(jnp.float32),
                         preferred_element_type=jnp.float32,
@@ -405,6 +422,8 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
         v = jnp.round(y + bias).astype(jnp.int32)
     else:
         v = c_ref[:, :].astype(jnp.int32)      # (C, R) coefficients
+    if stop_after == "dct":
+        return _early_out(v, out_ref, ob_ref, needs_ref)
     R = v.shape[1]
     sub = jax.lax.broadcasted_iota(jnp.int32, (C, R), 0)
     zz = sub & 63                              # position within block
@@ -480,15 +499,31 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
     vmask = jnp.zeros((C, R), jnp.int32)
     for j in range(B):
         vmask = jnp.where(jb == j, valid_ref[j:j + 1, :], vmask)
+    if Rall:
+        # ragged lane edge: the grid covers ceil(Rall/R) tiles, so the
+        # last tile's lanes past Rall read unspecified values — zero
+        # their token lengths and restart markers so they behave exactly
+        # like valid=0 pad rows (0 output bytes, no needs contribution)
+        lane = (jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+                + pl.program_id(0) * R)
+        lane_ok = lane < Rall
+        vmask = vmask * lane_ok.astype(jnp.int32)
     lens = lens * vmask
 
     x = jnp.where(lens > 0,
                   bits << (32 - jnp.clip(lens, 1, 31)).astype(jnp.uint32),
                   jnp.uint32(0))
+    if stop_after == "token":
+        return _early_out(x ^ lens.astype(jnp.uint32), out_ref, ob_ref,
+                          needs_ref)
     rst = rst_ref[0:1, :].astype(jnp.uint32)
+    if Rall:
+        rst = jnp.where(lane_ok, rst, jnp.uint32(0))
     out, out_bytes, needs_vals = _tree_pad_stuff(
         x, lens, rst, N0=C, D=D, W_stuff=W_stuff, z_cap=z_cap,
-        compact_after=compact_after)
+        compact_after=compact_after, stop_after=stop_after)
+    if stop_after == "tree":
+        return _early_out(out, out_ref, ob_ref, needs_ref)
     out_ref[:, :] = out[:W_out]
     ob_ref[:, :] = out_bytes
     _write_needs(needs_ref, needs_vals)
@@ -496,7 +531,7 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
 
 def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
                         R_tile: int = 128, interpret: bool = False,
-                        compact_after=(), dct=None):
+                        compact_after=(), dct=None, stop_after=None):
     """(coefs_t (C, Rp) i16 — or u8 sample patches when dct is given,
     valid_t (B, Rp) i32, luma_t (1, Rp) i32, rst (1, Rp) i32) ->
     (out_t (W_out, Rp) u32, out_bytes (1, Rp) i32, needs (D+2,) i32).
@@ -512,25 +547,26 @@ def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
     kernel = functools.partial(
         _entropy_kernel_body, C=C, B=B, D=D, W_out=W_out, W_stuff=W_out,
         z_cap=z_cap, consts=consts, compact_after=tuple(compact_after),
-        dct_bias=dct_bias, dct_nmat=len(mats))
+        dct_bias=dct_bias, dct_nmat=len(mats), stop_after=stop_after)
+
+    C_in = C // 4 if dct is not None else C    # packed u32 when fused DCT
 
     def fn(coefs_t, valid_t, luma_t, rst):
         Rall = coefs_t.shape[1]
         G = -(-Rall // R_tile)
         Rp = G * R_tile
-        if Rp != Rall:
-            coefs_t = jnp.pad(coefs_t, ((0, 0), (0, Rp - Rall)))
-            valid_t = jnp.pad(valid_t, ((0, 0), (0, Rp - Rall)))
-            luma_t = jnp.pad(luma_t, ((0, 0), (0, Rp - Rall)))
-            rst = jnp.pad(rst, ((0, 0), (0, Rp - Rall)))
+        # ragged lane edge handled IN-KERNEL (lane >= Rall masked like
+        # valid=0 rows) — an XLA pad here cost ~2.3 ms at 8K
+        kern = (kernel if Rp == Rall
+                else functools.partial(kernel, Rall=Rall))
         mat_specs = [pl.BlockSpec((C, C), lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
                      for _ in mats]
         out_t, ob, needs = pl.pallas_call(
-            kernel,
+            kern,
             grid=(G,),
             in_specs=[
-                pl.BlockSpec((C, R_tile), lambda i: (0, i),
+                pl.BlockSpec((C_in, R_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
                 *mat_specs,
                 pl.BlockSpec((B, R_tile), lambda i: (0, i),
@@ -549,14 +585,14 @@ def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((W_out, Rp), jnp.uint32),
-                jax.ShapeDtypeStruct((1, Rp), jnp.int32),
+                jax.ShapeDtypeStruct((W_out, Rall), jnp.uint32),
+                jax.ShapeDtypeStruct((1, Rall), jnp.int32),
                 jax.ShapeDtypeStruct((8, 128), jnp.int32),
             ],
             interpret=interpret,
         )(coefs_t, *[jnp.asarray(m) for m in mats],
           valid_t, luma_t, rst)
-        return out_t[:, :Rall], ob[0, :Rall], needs[0, : D + 2]
+        return out_t, ob[0], needs[0, : D + 2]
 
     return fn
 
@@ -613,17 +649,18 @@ def entropy_fused_u8(xbd: jnp.ndarray, valid_t, luma_t, rst_marker,
                      interpret: bool = False, compact_after=()):
     """entropy_fused variant with the forward DCT fused INTO the kernel.
 
-    xbd: (C0, R) uint8 block-diagonal sample patches (see
-    dct.fdct_quantize_bd's input layout: sublane = block-within-segment
-    * 64 + r*8 + c, lane = segment); dct_key = (quality, luma, rst,
-    use_bf16) selects the in-kernel quantizing DCT matrices.  Everything
-    else matches entropy_fused.
+    xbd: (C0/4, R) uint32 PACKED block-diagonal sample patches: sample
+    b*64 + r*8 + c of segment-lane s is byte c%4 (little-endian) of word
+    (b*16 + r*2 + c//4, s) — see make_rows_xbd_impl.  dct_key = (quality,
+    luma, rst, use_bf16) selects the in-kernel quantizing DCT matrices.
+    Everything else matches entropy_fused.
     """
-    C0, R = xbd.shape
+    C4, R = xbd.shape
+    C0 = C4 * 4
     C = pow2_ge(max(C0, 64))
     B = C // 64
     if C != C0:
-        xbd = jnp.pad(xbd, ((0, C - C0), (0, 0)))
+        xbd = jnp.pad(xbd, ((0, (C - C0) // 4, ), (0, 0)))
     if B != valid_t.shape[0]:
         valid_t = jnp.pad(valid_t, ((0, B - valid_t.shape[0]), (0, 0)))
     rst = jnp.asarray(rst_marker).astype(jnp.int32).reshape(1, R)

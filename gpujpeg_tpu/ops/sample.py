@@ -114,34 +114,31 @@ def preprocess(raw, geo: Geometry, pi: ImageParameters) -> List[jnp.ndarray]:
         fill = jnp.full(chans.shape[:-1] + (ncomp - chans.shape[-1],), 128,
                         dtype=jnp.int32)
         chans = jnp.concatenate([chans, fill], axis=-1)
-    # color transform on first 3 channels; alpha passthrough.  Cast to
-    # uint8 and BARRIER here: the downstream per-component decimation
-    # slices + block transposes are fusion barriers with multiple
-    # consumers, so whatever dtype the transform ends in is what XLA
-    # materializes to HBM — u8 is 4x less traffic than the transform's
-    # native int32 (~530 MB saved per 8K frame)
-    import jax
 
-    if ncomp >= 3:
-        rgb = color.convert(chans[..., :3], pi.color_space,
-                            geo.param.color_space_internal)
-        chans = jnp.concatenate([rgb, chans[..., 3:ncomp]],
-                                axis=-1) if ncomp > 3 else rgb
-        chans = jax.lax.optimization_barrier(chans.astype(jnp.uint8))
-    else:
-        chans = chans[..., :ncomp].astype(jnp.uint8)
-
+    # One independent fusion per component, each DECIMATING FIRST:
+    # subsampling is pure selection (no filtering, preprocessor.cu:51-64),
+    # so it commutes exactly with the per-pixel color transform — chroma
+    # converts 1/4 of the pixels instead of materializing a full-res
+    # YCbCr image and then decimating (the old barrier formulation cost
+    # ~4.1 ms at 8K; this one reads the raw frame once per component and
+    # writes the decimated u8 plane, ~3x less HBM traffic).  XLA DCEs the
+    # unused output channels of convert() inside each fusion.
     planes = []
     for c in geo.components:
         sh = geo.max_h // c.samp_h
         sv = geo.max_v // c.samp_v
-        p = chans[::sv, ::sh, c.index]
+        sub = chans[::sv, ::sh]
+        if ncomp >= 3 and c.index < 3:
+            val = color.convert(sub[..., :3], pi.color_space,
+                                geo.param.color_space_internal)[..., c.index]
+        else:
+            val = sub[..., c.index]
         # pad real dims up to component dims then data dims (zero-fill);
         # planes are uint8 (values already clipped to [0, 255]) so the
         # downstream block transpose moves 1 B/sample, not 4
-        p = jnp.pad(p.astype(jnp.uint8),
-                    ((0, c.data_height - p.shape[0]),
-                     (0, c.data_width - p.shape[1])))
+        p = jnp.pad(val.astype(jnp.uint8),
+                    ((0, c.data_height - val.shape[0]),
+                     (0, c.data_width - val.shape[1])))
         planes.append(p)
     return planes
 
