@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import dct, huffdec, huffdec2, huffdec_kernel, sample
+from ..ops import (dct, huffdec, huffdec2, huffdec_kernel,
+                   prepost_kernel, sample)
 from ..stream import reader, segments as segprep
 from ..types import (ColorSpace, CorruptStreamError, ImageInfo,
                      ImageParameters, PixelFormat)
@@ -196,7 +197,15 @@ def _make_idct_post_fn_t(geo: Geometry):
     N = tables.idct2d_matrix_zz().astype(np.float32)
 
     def fn(coefs_t, qtabs):
-        planes = []
+        # fully fused back half (dequant+IDCT+upsample+color+RGBX in one
+        # Pallas kernel) — the XLA pack + block->plane transpose chain it
+        # replaces cost ~11 ms at 8K (stride-2-minor interleaves)
+        interp0 = deckernel_mode() == "interpret"
+        fused = prepost_kernel.decode_post_fused(coefs_t, qtabs, geo,
+                                                 out_pi, interpret=interp0)
+        if fused is not None:
+            return fused
+        p32s = []
         base = 0
         for c in geo.components:
             S = c.segment_count
@@ -215,20 +224,28 @@ def _make_idct_post_fn_t(geo: Geometry):
             # relayout: the transpose cost is per-ELEMENT shuffle-bound,
             # so moving words instead of bytes cuts it ~4x (the u8
             # variant cost 3.8 ms at 8K); the pack fuses into the matmul
-            # epilogue and the unpack reshape (H, W/4, 4)->(H, W) is a
-            # contiguous no-op that fuses into the postprocessor
-            # sublane-quad pack: the strided reads are on the MAJOR dims
-            # ((16, 4, nb) with nb contiguous), which XLA slices cheaply
+            # epilogue (the strided reads are on MAJOR dims, which XLA
+            # slices cheaply)
             xw = x.reshape(16, 4, -1).astype(jnp.uint32)
             w = (xw[:, 0] | (xw[:, 1] << 8) | (xw[:, 2] << 16)
                  | (xw[:, 3] << 24))
             nbh, nbw = c.data_height // 8, c.data_width // 8
             p32 = w.reshape(8, 2, nbh, nbw).transpose(2, 0, 3, 1) \
                 .reshape(c.data_height, c.data_width // 4)
-            plane = jax.lax.bitcast_convert_type(p32, jnp.uint8) \
-                .reshape(c.data_height, c.data_width)
-            planes.append(plane)
+            p32s.append(p32)
             base += S
+        # Pallas postprocessor consumes the packed planes directly
+        # (upsample + color + RGBX interleave in VMEM); fallback unpacks
+        # via bitcast (contiguous minor — a layout no-op)
+        interp = deckernel_mode() == "interpret"
+        out = prepost_kernel.postprocess_packed(p32s, geo, out_pi,
+                                                interpret=interp)
+        if out is not None:
+            return out
+        planes = [
+            jax.lax.bitcast_convert_type(p, jnp.uint8)
+            .reshape(c.data_height, c.data_width)
+            for p, c in zip(p32s, geo.components)]
         return sample.postprocess(planes, geo, out_pi)
 
     return jax.jit(fn)

@@ -173,3 +173,408 @@ def preprocess_packed(raw, geo, pi: ImageParameters,
                             (0, dw4 - p32.shape[1])))
         out.append(p32)
     return out
+
+
+# --------------------------------------------------------------------------
+# Postprocessor: packed component planes -> interleaved RGB
+# --------------------------------------------------------------------------
+#
+# The decode-side mirror: the XLA postprocessor's chroma upsample +
+# channel stack + (H, W, 3) interleaved store are all minor-dim shuffles
+# (~6 ms at 8K).  The kernel consumes the PACKED u32 planes the IDCT
+# stage already produces, upsamples x on SUBLANES (element repeat),
+# color-transforms elementwise, and emits RGBX pixel words; XLA then
+# narrows (H, W, 4)[..., :3] — a cheap contiguous-minor slice.  Chroma
+# row (y-direction) upsample stays in XLA as a major-dim row gather.
+# Counterpart of src/gpujpeg_postprocessor.cu comp_to_raw kernels.
+
+def _post_kernel_body(y_ref, cb_ref, cr_ref, out_ref, *, src_cs, dst_cs,
+                      dxc: int, SW: int, identity: bool):
+    W4 = y_ref.shape[1]                    # packed luma words per row
+    for j in range(0, W4, SW // 4):
+        yT = y_ref[:, j:j + SW // 4].T     # (SW/4, R) packed words
+        w4 = jnp.repeat(yT, 4, axis=0)
+        k = jax.lax.broadcasted_iota(jnp.int32, w4.shape, 0) & 3
+        Y = ((w4 >> (k * 8).astype(jnp.uint32)) & jnp.uint32(0xFF)) \
+            .astype(jnp.int32)             # (SW, R)
+        jc = j // dxc
+        cw = SW // (4 * dxc)
+        cbT = cb_ref[:, jc:jc + cw].T
+        crT = cr_ref[:, jc:jc + cw].T
+        wc = jnp.repeat(cbT, 4, axis=0)
+        wr = jnp.repeat(crT, 4, axis=0)
+        kc = jax.lax.broadcasted_iota(jnp.int32, wc.shape, 0) & 3
+        Cb = ((wc >> (kc * 8).astype(jnp.uint32)) & jnp.uint32(0xFF)) \
+            .astype(jnp.int32)
+        Cr = ((wr >> (kc * 8).astype(jnp.uint32)) & jnp.uint32(0xFF)) \
+            .astype(jnp.int32)
+        if dxc > 1:
+            Cb = jnp.repeat(Cb, dxc, axis=0)
+            Cr = jnp.repeat(Cr, dxc, axis=0)
+        if identity:
+            r, g, b = Y, Cb, Cr
+        else:
+            r, g, b = color.convert_channels(Y, Cb, Cr, src_cs, dst_cs)
+        px = (r.astype(jnp.uint32) | (g.astype(jnp.uint32) << 8)
+              | (b.astype(jnp.uint32) << 16) | jnp.uint32(0xFF000000))
+        out_ref[:, j * 4:j * 4 + SW] = px.T
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_post_kernel(src_cs, dst_cs, dxc, R, SW, h, w, interpret):
+    kernel = functools.partial(
+        _post_kernel_body, src_cs=src_cs, dst_cs=dst_cs, dxc=dxc, SW=SW,
+        identity=(src_cs == dst_cs or src_cs == ColorSpace.NONE
+                  or dst_cs == ColorSpace.NONE))
+
+    def fn(y32, cb32, cr32):
+        return pl.pallas_call(
+            kernel,
+            grid=(h // R,),
+            in_specs=[
+                pl.BlockSpec((R, w // 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, w // (4 * dxc)), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, w // (4 * dxc)), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, w), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((h, w), jnp.uint32),
+            interpret=interpret,
+        )(y32, cb32, cr32)
+
+    return fn
+
+
+def post_supported(geo, pi: ImageParameters) -> bool:
+    """True when the Pallas packed postprocessor covers this config:
+    3 components, luma full-res, same x/y chroma decimation in {1, 2, 4},
+    interleaved RGB-like output."""
+    if geo.comp_count != 3:
+        return False
+    if pi.pixel_format not in (PixelFormat.P444_U8_P012,
+                               PixelFormat.P4444_U8_P0123):
+        return False
+    src = geo.param.color_space_internal
+    dst = pi.color_space
+    if not (src == dst or src == ColorSpace.NONE or dst == ColorSpace.NONE):
+        for direction, cs in color.transform_steps(src, dst):
+            if cs not in (color._TO_RGB if direction == "from"
+                          else color._FROM_RGB):
+                return False
+    cy = geo.components[0]
+    if geo.max_h != cy.samp_h or geo.max_v != cy.samp_v:
+        return False
+    dxs = {geo.max_h // c.samp_h for c in geo.components[1:]}
+    dys = {geo.max_v // c.samp_v for c in geo.components[1:]}
+    if len(dxs) != 1 or len(dys) != 1:
+        return False
+    dx, dy = dxs.pop(), dys.pop()
+    if dx not in (1, 2, 4) or dy not in (1, 2, 4):
+        return False
+    W, H = pi.width, pi.height
+    if W % (16 * dx):
+        return False
+    if not _row_chunk(H) or not _col_chunk(W, 1):
+        return False
+    return True
+
+
+def postprocess_packed(p32s, geo, pi: ImageParameters,
+                       interpret: bool = False):
+    """[(data_h, data_w/4) u32 packed plane per component] -> packed raw
+    output for pi.pixel_format (P444 interleaved RGB via an RGBX narrow,
+    or P4444 RGBA with alpha = 255), or None when unsupported."""
+    if not post_supported(geo, pi):
+        return None
+    W, H = pi.width, pi.height
+    cy, ccb, ccr = geo.components
+    dx = geo.max_h // ccb.samp_h
+    dy = geo.max_v // ccb.samp_v
+    y32 = p32s[0][:H, : W // 4]
+    rows = np.minimum(np.arange(H) // dy, ccb.height - 1)
+    cw4 = -(-W // (4 * dx))
+    cb32 = p32s[1][jnp.asarray(rows)][:, :cw4]
+    cr32 = p32s[2][jnp.asarray(rows)][:, :cw4]
+    R = _row_chunk(H)
+    SW = _col_chunk(W, 1)
+    fn = _cached_post_kernel(geo.param.color_space_internal,
+                             pi.color_space, dx, R, SW, H, W, interpret)
+    rgbx = fn(y32, cb32, cr32)
+    out4 = jax.lax.bitcast_convert_type(rgbx, jnp.uint8)   # (H, W, 4)
+    if pi.pixel_format == PixelFormat.P4444_U8_P0123:
+        return out4
+    return out4[..., :3]
+
+
+# --------------------------------------------------------------------------
+# Fused decode back-half: dequant + IDCT + upsample + color + RGBX,
+# straight from phase-C coefficients
+# --------------------------------------------------------------------------
+#
+# The XLA formulation of this stage (per-component IDCT matmul -> byte
+# pack -> 5D block->plane transpose -> postprocess) spends ~11 of its
+# ~13 ms at 8K in the pack + transpose: the output's innermost dim
+# interleaves at stride 2, which XLA's transpose emitter handles a byte
+# at a time.  In-kernel the whole chain is cheap because the fold can
+# use primitives XLA has no access to:
+#
+#   * chroma upsample-x: transpose, SUBLANE element repeat, transpose
+#     back (lane-dim repeats are unsupported; sublane repeats are free);
+#   * chroma row/column phase selection: folded INTO the IDCT matrix —
+#     one (nv*64, 64) matmul emits all nv = dx*dy (row-pair, column-
+#     parity) sample orders at once, selected per lane afterwards;
+#   * block -> raster fold: with IDCT output order q = c*8 + r, the
+#     transposed pixel words (J, 64) scatter into a (8J, 8) scratch with
+#     8 SUBLANE-STRIDED stores (PT[c::8] = xt[:, 8c:8c+8]) — the one
+#     relayout class Mosaic supports that XLA lacks.
+#
+# Luma blocks-per-row must be padded to a 128 multiple (the caller pads
+# the coefficient plane; pad blocks decode to gray and are sliced away).
+# Counterpart of gpujpeg_idct_gpu + gpujpeg_postprocessor.cu in one pass.
+
+def _dpost_kernel_body(yc_hbm, cb_hbm, cr_hbm, qy_ref, qcb_ref,
+                       qcr_ref, my_ref, mc_ref, out_ref,
+                       ysc, cbsc, crsc, pt_ref, sy, sb, sr, *,
+                       dx: int, dy: int, NBW: int, NBC: int, RG: int,
+                       src_cs, dst_cs, identity: bool):
+    # Mosaic lowers only DEFAULT/HIGHEST dot precisions; HIGHEST is the
+    # f32-faithful 6-pass emulation (matches the XLA reference path)
+    prec = jax.lax.Precision.HIGHEST
+    nv = dx * dy
+    i = pl.program_id(0)
+
+    # coefficient tiles arrive via MANUAL DMA (an XLA pad to
+    # BlockSpec-able aligned rows cost 5.7 ms/frame); Mosaic requires the
+    # lane extent of an HBM slice to be a 128 multiple, so each grid step
+    # covers RG chroma block-rows with RG * NBC % 128 == 0 (the caller
+    # end-pads the planes so the last step stays in bounds)
+    cy = pltpu.make_async_copy(
+        yc_hbm.at[:, pl.ds(i * RG * dy * NBW, RG * dy * NBW)], ysc, sy)
+    ccb = pltpu.make_async_copy(
+        cb_hbm.at[:, pl.ds(i * RG * NBC, RG * NBC)], cbsc, sb)
+    ccr = pltpu.make_async_copy(
+        cr_hbm.at[:, pl.ds(i * RG * NBC, RG * NBC)], crsc, sr)
+    cy.start(); ccb.start(); ccr.start()
+    cy.wait(); ccb.wait(); ccr.wait()
+
+    def idct(cv, q_ref, m_ref):
+        y = cv.astype(jnp.float32) * q_ref[:, :]
+        x = jnp.dot(m_ref[:, :], y, preferred_element_type=jnp.float32,
+                    precision=prec)
+        return jnp.clip(jnp.round(x + 128.0), 0, 255).astype(jnp.int32)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (64, NBW), 1)
+    par = lane & (dx - 1) if dx > 1 else None
+    for rr in range(RG):
+        Y = idct(ysc[:, rr * dy * NBW:(rr + 1) * dy * NBW],
+                 qy_ref, my_ref)                   # (64, dy*NBW)
+        Call = []
+        for c_ref, q_ref in ((cbsc, qcb_ref), (crsc, qcr_ref)):
+            C = idct(c_ref[:, rr * NBC:(rr + 1) * NBC],
+                     q_ref, mc_ref)                # (nv*64, NBC)
+            if dx > 1:
+                C = jnp.repeat(C.T, dx, axis=0).T  # lane expand via T
+            Call.append(C)                         # (nv*64, NBW)
+        for rp in range(dy):
+            Yr = Y[:, rp * NBW:(rp + 1) * NBW]
+            cvs = []
+            for C in Call:
+                if dx > 1:
+                    v0 = rp * dx
+                    cv = C[64 * v0:64 * v0 + 64, :]
+                    for p in range(1, dx):
+                        vv = C[64 * (v0 + p):64 * (v0 + p) + 64, :]
+                        cv = jnp.where(par == p, vv, cv)
+                else:
+                    cv = C[64 * rp:64 * rp + 64, :]
+                cvs.append(cv)
+            if identity:
+                r, g, b = Yr, cvs[0], cvs[1]
+            else:
+                r, g, b = color.convert_channels(Yr, cvs[0], cvs[1],
+                                                 src_cs, dst_cs)
+            px = (r.astype(jnp.uint32) | (g.astype(jnp.uint32) << 8)
+                  | (b.astype(jnp.uint32) << 16) | jnp.uint32(0xFF000000))
+            # fold blocks -> raster: q = c*8 + r sample order lets the
+            # transposed pixel words scatter into PT (8*NBW, 8) with eight
+            # SUBLANE-STRIDED stores (the relayout class Mosaic supports
+            # and XLA lacks); the final transpose runs in the u8 domain so
+            # the output IS the (rows, W*4) byte image — no XLA narrow
+            xt = px[:, :].T                            # (NBW, 64)
+            for cc in range(8):
+                pt_ref[cc::8, :] = xt[:, 8 * cc:8 * cc + 8]
+            ptb = pltpu.bitcast(pt_ref[:, :], jnp.uint8)  # (32*NBW, 8)
+            ro = 8 * (rr * dy + rp)
+            out_ref[ro:ro + 8, :] = ptb.T                 # (8, 32*NBW)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_dpost_kernel(dx, dy, NBW, RG, nbh_steps, src_cs, dst_cs,
+                         interpret):
+    nv = dx * dy
+    NBC = NBW // dx
+    kernel = functools.partial(
+        _dpost_kernel_body, dx=dx, dy=dy, NBW=NBW, NBC=NBC, RG=RG,
+        src_cs=src_cs, dst_cs=dst_cs,
+        identity=(src_cs == dst_cs or src_cs == ColorSpace.NONE
+                  or dst_cs == ColorSpace.NONE))
+    rows_per = 8 * dy * RG
+    Wb = NBW * 32                      # output row bytes (RGBX)
+
+    def fn(yc, cb, cr, qy, qcb, qcr, my, mc):
+        const = lambda i: (0, 0)
+        return pl.pallas_call(
+            kernel,
+            grid=(nbh_steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((64, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((64, 64), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nv * 64, 64), const,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rows_per, Wb), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nbh_steps * rows_per, Wb),
+                                           jnp.uint8),
+            scratch_shapes=[
+                pltpu.VMEM((64, RG * dy * NBW), jnp.int16),
+                pltpu.VMEM((64, RG * NBC), jnp.int16),
+                pltpu.VMEM((64, RG * NBC), jnp.int16),
+                pltpu.VMEM((8 * NBW, 8), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(yc, cb, cr, qy, qcb, qcr, my, mc)
+
+    return fn
+
+
+def _dpost_matrices(dx: int, dy: int):
+    """(my (64, 64), mc (dx*dy*64, 64)) f32: IDCT rows in q = c*8 + r
+    output order; chroma variants fold the (row-pair, column-parity)
+    sample selection of nearest upsampling into the matrix."""
+    from ..utils import tables as _t
+
+    NT = np.asarray(_t.idct2d_matrix_zz(), np.float64).T  # rows r*8+c
+    my = np.zeros((64, 64), np.float64)
+    for c in range(8):
+        for r in range(8):
+            my[c * 8 + r] = NT[r * 8 + c]
+    nv = dx * dy
+    mc = np.zeros((nv * 64, 64), np.float64)
+    for rp in range(dy):
+        for p in range(dx):
+            v = rp * dx + p
+            for c in range(8):
+                for r in range(8):
+                    rc = (8 * rp + r) // dy if dy > 1 else r
+                    cc = ((8 * p + c) // dx) if dx > 1 else c
+                    mc[v * 64 + c * 8 + r] = NT[rc * 8 + cc]
+    return my.astype(np.float32), mc.astype(np.float32)
+
+
+def decode_post_supported(geo, pi: ImageParameters) -> bool:
+    """Fused decode back-half coverage: non-interleaved 3-component
+    scans, uniform chroma decimation dx, dy in {1, 2}, RGB-like output,
+    bps == segment_mcu_count for every component."""
+    if geo.comp_count != 3 or geo.interleaved:
+        return False
+    if pi.pixel_format not in (PixelFormat.P444_U8_P012,
+                               PixelFormat.P4444_U8_P0123):
+        return False
+    src = geo.param.color_space_internal
+    dst = pi.color_space
+    if not (src == dst or src == ColorSpace.NONE or dst == ColorSpace.NONE):
+        for direction, cs in color.transform_steps(src, dst):
+            if cs not in (color._TO_RGB if direction == "from"
+                          else color._FROM_RGB):
+                return False
+    cy = geo.components[0]
+    if geo.max_h != cy.samp_h or geo.max_v != cy.samp_v:
+        return False
+    dxs = {geo.max_h // c.samp_h for c in geo.components[1:]}
+    dys = {geo.max_v // c.samp_v for c in geo.components[1:]}
+    if len(dxs) != 1 or len(dys) != 1:
+        return False
+    dx, dy = dxs.pop(), dys.pop()
+    if dx not in (1, 2) or dy not in (1, 2):
+        return False
+    for c in geo.components:
+        if c.segment_mcu_count != geo.max_blocks_per_seg:
+            return False
+        if c.segment_count * c.segment_mcu_count != c.mcu_count:
+            return False
+    cyh, cch = cy.data_height // 8, geo.components[1].data_height // 8
+    if cyh != dy * cch:
+        return False
+    if (geo.components[1].data_width // 8) * dx != cy.data_width // 8:
+        return False
+    return True
+
+
+def decode_post_fused(coefs_t, qtabs, geo, pi: ImageParameters,
+                      interpret: bool = False):
+    """coefs_t (64, nseg*bps) int16 (DC already integrated) -> packed
+    raw output for pi (P444 RGB via RGBX narrow / P4444 RGBA), or None
+    when unsupported.
+
+    The in-kernel IDCT uses Precision.HIGHEST (f32-faithful).  On TPU
+    hardware the Mosaic matmul's accumulation order differs from XLA's,
+    so outputs can differ from the XLA tail by +-2 codes on ~1e-5 of
+    pixels (round-boundary cases); PIL-oracle error stats are
+    indistinguishable between the two paths."""
+    if not decode_post_supported(geo, pi):
+        return None
+    cy, ccb, ccr = geo.components
+    dx = geo.max_h // ccb.samp_h
+    dy = geo.max_v // ccb.samp_v
+    nbh_c = ccb.data_height // 8
+    bps = geo.max_blocks_per_seg
+
+    def comp_plane(ci, c):
+        S = c.segment_count
+        base = sum(cc.segment_count for cc in geo.components[:ci])
+        return coefs_t[:, base * bps:(base + S) * bps]
+
+    NBW = cy.data_width // 8
+    NBC = NBW // dx
+    # Mosaic HBM DMA slices need 128-multiple lane extents: group RG
+    # chroma block-rows per grid step and END-pad each plane's lanes (a
+    # contiguous pad — the per-block-row strided pad cost 5.7 ms at 8K)
+    RG = 128 // int(np.gcd(NBC, 128))
+    steps = -(-nbh_c // RG)
+
+    def padded(plane, per_step):
+        need = steps * per_step
+        if plane.shape[1] < need:
+            plane = jnp.pad(plane, ((0, 0), (0, need - plane.shape[1])))
+        return plane
+
+    yc = padded(comp_plane(0, cy), RG * dy * NBW)
+    cb = padded(comp_plane(1, ccb), RG * NBC)
+    cr = padded(comp_plane(2, ccr), RG * NBC)
+    qy = qtabs[0].astype(jnp.float32).reshape(64, 1)
+    qcb = qtabs[1].astype(jnp.float32).reshape(64, 1)
+    qcr = qtabs[2].astype(jnp.float32).reshape(64, 1)
+    my, mc = _dpost_matrices(dx, dy)
+    fn = _cached_dpost_kernel(dx, dy, NBW, RG, steps,
+                              geo.param.color_space_internal,
+                              pi.color_space, interpret)
+    rgbx = fn(yc, cb, cr, qy, qcb, qcr, jnp.asarray(my),
+              jnp.asarray(mc))
+    out4 = rgbx.reshape(rgbx.shape[0], rgbx.shape[1] // 4, 4)
+    out4 = out4[:pi.height, :pi.width]
+    if pi.pixel_format == PixelFormat.P4444_U8_P0123:
+        return out4
+    return out4[..., :3]
+

@@ -1,9 +1,6 @@
 #!/usr/bin/env python
-"""Decode-tail breakdown on the real TPU: dequant+IDCT matmul,
-blocks_to_plane relayout, upsample+color+pack.
-
-Usage: python tools/profile_post.py [HxW]
-"""
+"""Decompose the decode idct_t+post stage: matmul | +pack | +5D | +post
+(Pallas vs XLA postprocess)."""
 
 import sys
 import time
@@ -17,105 +14,122 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gpujpeg_tpu.ops import color, dct, sample
+    from gpujpeg_tpu import Encoder, Parameters
+    from gpujpeg_tpu.models import decoder as dec_mod
+    from gpujpeg_tpu.ops import prepost_kernel, sample
     from gpujpeg_tpu.utils import tables
 
-    size = sys.argv[1] if len(sys.argv) > 1 else "4320x7680"
-    h, w = map(int, size.split("x"))
-    print(f"backend={jax.default_backend()} {h}x{w}", file=sys.stderr)
+    h, w = 4320, 7680
 
-    rng = np.random.default_rng(1)
-    nb_y = (h // 8) * (w // 8)
-    nb_c = (h // 16) * (w // 16)
-    coefs_y = jnp.asarray(rng.integers(-64, 64, (nb_y, 64), np.int16))
-    coefs_u = jnp.asarray(rng.integers(-64, 64, (nb_c, 64), np.int16))
-    qt = jnp.asarray(tables.quant_table_zz(True, 75).astype(np.float32))
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        small = jax.random.uniform(k1, (h // 16, w // 16, 3), jnp.float32,
+                                   0.0, 255.0)
+        up = jnp.repeat(jnp.repeat(small, 16, axis=0), 16, axis=1)
+        noise = jax.random.normal(k2, (h, w, 3), jnp.float32) * 6.0
+        return jnp.clip(up + noise, 0, 255).astype(jnp.uint8)
 
-    def dtime(make_loop, args, n_hi=9, reps=3):
-        times = {}
-        for n in (1, n_hi):
-            lp = make_loop(n)
-            r = jax.block_until_ready(lp(*args))
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                r = jax.block_until_ready(lp(*args))
-                best = min(best, time.perf_counter() - t0)
-            times[n] = best
-        return (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0
+    frame = np.asarray(jax.device_get(gen(jax.random.PRNGKey(7))))
+    enc = Encoder()
+    data = enc.encode(frame, Parameters(quality=75, restart_interval=-1))
+    from gpujpeg_tpu.models.decoder import resolve_output
+    from gpujpeg_tpu.utils.geometry import get_geometry
+    ps = dec_mod.reader.parse(bytes(data))
+    param = dec_mod.reader.parsed_to_parameters(ps)
+    out_pi = resolve_output(ps, None, 0)
+    geo = get_geometry(param, out_pi.with_(width_padding=0))
+    out_pi = geo.param_image
+    print("post_supported:", prepost_kernel.post_supported(geo, out_pi),
+          file=sys.stderr)
 
+    L = sum(c.segment_count for c in geo.components) \
+        * geo.max_blocks_per_seg
+    coefs_t = jax.block_until_ready(jax.random.randint(
+        jax.random.PRNGKey(1), (64, L), -64, 64, jnp.int32)
+        .astype(jnp.int16))
+    qt = jnp.asarray(np.stack([np.asarray(
+        tables.quant_table_zz(i == 0, 75), np.float32) for i in range(3)]))
     N = tables.idct2d_matrix_zz().astype(np.float32)
 
-    # (a) dequant+IDCT matmul only (all 3 components)
-    def mk_mm(n):
-        @jax.jit
-        def lp(cy, cu):
-            def body(i, carry):
-                acc = jnp.float32(0)
-                for c in (cy.at[0, 0].set(carry), cu, cu):
-                    y = c.astype(jnp.float32) * qt[None, :]
-                    x = jnp.dot(y, jnp.asarray(N),
-                                preferred_element_type=jnp.float32)
-                    acc = acc + x[0, 0]
-                return acc
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
-        return lp
+    def dtime(fn, n_hi=9):
+        def mk(n):
+            @jax.jit
+            def lp(a):
+                def body(i, c):
+                    r = fn(a.at[0, 0].set(c.astype(jnp.int16)))
+                    return r.reshape(-1)[0].astype(jnp.int32)
+                return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+            return lp
+        ts = {}
+        for n in (1, n_hi):
+            lp = mk(n)
+            jax.block_until_ready(lp(coefs_t))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(lp(coefs_t))
+                best = min(best, time.perf_counter() - t0)
+            ts[n] = best
+        return (ts[n_hi] - ts[1]) / (n_hi - 1) * 1000.0
 
-    # (b) full dequantize_idct_traced incl blocks_to_plane
-    def mk_idct(n):
-        @jax.jit
-        def lp(cy, cu):
-            def body(i, carry):
-                py = dct.dequantize_idct_traced(
-                    cy.at[0, 0].set(carry), qt, h, w)
-                pu = dct.dequantize_idct_traced(cu, qt, h // 2, w // 2)
-                pv = dct.dequantize_idct_traced(cu, qt, h // 2, w // 2)
-                return (py[0, 0] + pu[0, 0] + pv[0, 0]).astype(jnp.int16)
-            return jax.lax.fori_loop(0, n, body, jnp.int16(0))
-        return lp
+    def stage(coefs_t, upto, barrier=False):
+        base = 0
+        p32s = []
+        acc = jnp.int32(0)
+        for c in geo.components:
+            S = c.segment_count
+            rst = c.segment_mcu_count
+            bps = geo.max_blocks_per_seg
+            ct = coefs_t[:, base * bps:(base + S) * bps]
+            ct = ct.reshape(64, S, bps)[:, :, :rst].reshape(64, S * rst)
+            ct = ct[:, :c.mcu_count]
+            y = ct.astype(jnp.float32) * qt[c.index][:, None]
+            x = jnp.dot(jnp.asarray(N.T), y,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            x = jnp.clip(jnp.round(x + 128.0), 0, 255).astype(jnp.int32)
+            if barrier:
+                x = jax.lax.optimization_barrier(x)
+            if upto == "matmul":
+                acc = acc + jnp.sum(x[::8, ::512].astype(jnp.int32))
+                base += S
+                continue
+            xw = x.reshape(16, 4, -1).astype(jnp.uint32)
+            wd = (xw[:, 0] | (xw[:, 1] << 8) | (xw[:, 2] << 16)
+                  | (xw[:, 3] << 24))
+            if barrier:
+                wd = jax.lax.optimization_barrier(wd)
+            if upto == "pack":
+                acc = acc + wd[0, 0].astype(jnp.int32)
+                base += S
+                continue
+            nbh, nbw = c.data_height // 8, c.data_width // 8
+            p32 = wd.reshape(8, 2, nbh, nbw).transpose(2, 0, 3, 1) \
+                .reshape(c.data_height, c.data_width // 4)
+            p32s.append(p32)
+            base += S
+        if upto in ("matmul", "pack"):
+            return acc
+        p32s = jax.lax.optimization_barrier(tuple(p32s))
+        if upto == "5d":
+            return sum(p[0, 0].astype(jnp.int32) for p in p32s)
+        if upto == "post_pallas":
+            out = prepost_kernel.postprocess_packed(list(p32s), geo,
+                                                    out_pi)
+            return out.reshape(-1)[0].astype(jnp.int32)
+        planes = [jax.lax.bitcast_convert_type(p, jnp.uint8)
+                  .reshape(c.data_height, c.data_width)
+                  for p, c in zip(p32s, geo.components)]
+        out = sample.postprocess(planes, geo, out_pi)
+        return out.reshape(-1)[0].astype(jnp.int32)
 
-    # (c) upsample + color + pack from ready planes
-    py0 = jax.block_until_ready(
-        jnp.asarray(rng.integers(0, 256, (h, w), np.int32)))
-    pu0 = jax.block_until_ready(
-        jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.int32)))
-
-    def mk_post(n):
-        @jax.jit
-        def lp(py, pu):
-            def body(i, carry):
-                yy = py.at[0, 0].set(carry)
-                u = jnp.repeat(jnp.repeat(pu, 2, axis=0), 2, axis=1)
-                chans = jnp.stack([yy, u, u], axis=-1)
-                from gpujpeg_tpu.types import YCBCR_JPEG
-                from gpujpeg_tpu.types import ColorSpace
-                rgb = color.convert(chans, YCBCR_JPEG, ColorSpace.RGB)
-                out = rgb.astype(jnp.uint8)
-                return out[0, 0, 0].astype(jnp.int32)
-            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
-        return lp
-
-    # (d) blocks_to_plane alone (u8 samples)
-    sy0 = jax.block_until_ready(
-        jnp.asarray(rng.integers(0, 256, (nb_y, 64), np.int32)))
-
-    def mk_b2p(n):
-        @jax.jit
-        def lp(s):
-            def body(i, carry):
-                p = dct.blocks_to_plane(s.at[0, 0].set(carry), h, w)
-                return p[0, 0]
-            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
-        return lp
-
-    for name, mk, args in [("mm only", mk_mm, (coefs_y, coefs_u)),
-                           ("idct+b2p", mk_idct, (coefs_y, coefs_u)),
-                           ("b2p alone", mk_b2p, (sy0,)),
-                           ("up+col+pack", mk_post, (py0, pu0))]:
-        t0 = time.time()
-        ms = dtime(mk, args)
-        print(f"{name:12s} {ms:8.2f} ms   (setup {time.time()-t0:.0f}s)",
-              flush=True)
+    for bar in (False, True):
+        for name in ("pack", "5d", "post_pallas"):
+            t0 = time.time()
+            ms = dtime(lambda ct, nm=name, b=bar: stage(ct, nm, b))
+            print(f"bar={int(bar)} {name:12s} {ms:8.2f} ms  "
+                  f"(setup {time.time()-t0:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
