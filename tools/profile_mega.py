@@ -61,7 +61,7 @@ def main():
             ts[n] = best
         return (ts[9] - ts[1]) / 8 * 1000.0
 
-    for rtile in (128,):
+    for rtile in (256, 512):
         for stop in ("dct", "token", "tree", None):
             try:
                 ms = timeit(stop, rtile)
