@@ -185,14 +185,18 @@ def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
 
     def write_onehot(coefs, coef_idx, val, write):
         """coefs: tuple of 8 (64, C) arrays; writes row group g from the
-        g-th sublane of coef_idx/val/write."""
+        g-th sublane of coef_idx/val/write.  Lanes not writing get idx
+        -1, which never matches iota — this folds the write mask into
+        the compare and deletes the per-group `&`.  (Packed-i16
+        accumulators were tried and rejected: v5e Mosaic supports
+        neither i16 iota/cmp nor i1(8,128)-mask selects of i16.)"""
+        idx32 = jnp.where(write, coef_idx, -1)
         out = []
         for g in range(8):
-            idx_g = jnp.broadcast_to(coef_idx[g:g + 1, :], (64, C))
+            idx_g = jnp.broadcast_to(idx32[g:g + 1, :], (64, C))
             val_g = jnp.broadcast_to(val[g:g + 1, :], (64, C))
-            wr_g = jnp.broadcast_to(write[g:g + 1, :], (64, C))
             out.append(coefs[g]
-                       + jnp.where((iota64 == idx_g) & wr_g, val_g, 0))
+                       + jnp.where(iota64 == idx_g, val_g, 0))
         return tuple(out)
 
     # ---- DC token (every lane's first token), unrolled ----

@@ -50,9 +50,13 @@ def main():
     plan = dec._plan_for(geo, ps)
     nseg = geo.segment_count
     from gpujpeg_tpu.stream import segments as segprep
-    sp = segprep.prepare(bytes(data), ps, geo)
-    words = jnp.asarray(sp.words)
-    nbits = jnp.asarray(sp.nbits)
+    from gpujpeg_tpu.models.decoder import _bucket
+    ranges = dec._segment_ranges(ps, geo)
+    max_words = _bucket((max(en - st for st, en in ranges) + 3) // 4)
+    words_np, nbits_np = segprep.pack_segments_matrix(ps.data, ranges,
+                                                      max_words)
+    words = jnp.asarray(words_np)
+    nbits = jnp.asarray(nbits_np)
     W = int(words.shape[1])
     bps = plan.bps
     blocks_per_seg = jnp.asarray(
