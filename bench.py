@@ -145,6 +145,24 @@ def bench_decode(name, stream, matrix):
     return dt
 
 
+def headline_json(dt8k, matrix=None):
+    d = {
+        "metric": "encode_8k_rgb_q75_device_ms_per_frame",
+        "value": round(dt8k, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINES["encode_8k_device"] / dt8k, 3),
+    }
+    if matrix is not None:
+        d["matrix"] = matrix
+    return json.dumps(d)
+
+
+def save_matrix(matrix):
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_MATRIX.json"), "w") as f:
+        json.dump(matrix, f, indent=1)
+
+
 def main():
     import jax
 
@@ -162,6 +180,13 @@ def main():
     dt8k, enc, geo8k, res8k, meta8k = bench_encode(
         "encode_8k_q75_device", *SIZES["8k"], 75, matrix)
 
+    # print the headline IMMEDIATELY: a timeout later in the matrix must
+    # not erase the round's number (round 2 died at the 16K config and
+    # recorded nothing); the full line incl. matrix is re-printed last,
+    # and a parser taking the final JSON line sees the complete record
+    print(headline_json(dt8k), flush=True)
+    save_matrix(matrix)
+
     # 8K stream for the decode benchmark (assemble on host)
     stream8k = None
     try:
@@ -172,29 +197,32 @@ def main():
     except Exception as e:
         log(f"[bench] 8K assembly failed: {e!r}")
 
-    # ---- the rest of the matrix, deadline-gated ----
+    # ---- decode first (top verdict item), then the encode matrix ----
+    if left() > 500 and stream8k is not None:
+        try:
+            bench_decode("decode_8k_q75_device", stream8k, matrix)
+        except Exception as ex:
+            log(f"[bench] decode 8k FAILED: {ex!r}")
+
     plan = [("encode", "hd", 75), ("encode", "4k", 75),
             ("encode", "16k", 75),
             ("encode", "8k", 90), ("encode", "8k", 10),
             ("encode", "8k", 100), ("encode", "8k", 50)]
     enc_sessions = {}
     for kind, size, q in plan:
-        if left() < 420:
+        # 16K compiles three fresh programs; give it a bigger margin
+        need = 900 if size == "16k" else 420
+        if left() < need:
             log(f"[bench] deadline: skipping {kind}_{size}_q{q}")
             continue
         try:
             name = f"{kind}_{size}_q{q}_device"
             dt, e, g, r, m = bench_encode(name, *SIZES[size], q, matrix)
             enc_sessions[(size, q)] = (e, g, r, m)
+            save_matrix(matrix)
         except Exception as ex:
             log(f"[bench] {kind} {size} q{q} FAILED: {ex!r}")
 
-    # ---- decode ----
-    if left() > 500 and stream8k is not None:
-        try:
-            bench_decode("decode_8k_q75_device", stream8k, matrix)
-        except Exception as ex:
-            log(f"[bench] decode 8k FAILED: {ex!r}")
     if left() > 400 and ("hd", 75) in enc_sessions:
         try:
             e, g, r, m = enc_sessions[("hd", 75)]
@@ -203,18 +231,9 @@ def main():
         except Exception as ex:
             log(f"[bench] decode hd FAILED: {ex!r}")
 
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_MATRIX.json"), "w") as f:
-        json.dump(matrix, f, indent=1)
+    save_matrix(matrix)
     log("[bench] matrix: " + json.dumps(matrix))
-
-    print(json.dumps({
-        "metric": "encode_8k_rgb_q75_device_ms_per_frame",
-        "value": round(dt8k, 3),
-        "unit": "ms",
-        "vs_baseline": round(BASELINES["encode_8k_device"] / dt8k, 3),
-        "matrix": matrix,
-    }))
+    print(headline_json(dt8k, matrix), flush=True)
 
 
 if __name__ == "__main__":

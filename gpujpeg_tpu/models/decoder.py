@@ -340,10 +340,12 @@ class _StreamPlan:
         return huffdec_kernel.cached_block_kernel(
             K, ac_l, ac_c, dc_l, dc_c, 1024, interpret)
 
-    def kernel_scan_fn(self, W: int, interpret: bool):
+    def kernel_scan_fn(self, W: int, nseg: int, interpret: bool):
         """Pallas phase A for W-word segment rows, or None if not
-        applicable (foreign tables / oversized segments)."""
-        if self.kernel_consts is None or W > 64:
+        applicable (foreign tables / oversized segments or block counts:
+        the loop state carries a bps-sized tuple of (8, C_tile) planes,
+        so huge restart intervals would blow VMEM / unroll cost)."""
+        if self.kernel_consts is None or W > 64 or self.bps > 64:
             return None
         pats = None
         if self.luma_patterns is not None:
@@ -353,9 +355,12 @@ class _StreamPlan:
         ac_l, ac_c, dc_l, dc_c = self.kernel_consts
         # 512-lane tiles: the per-token loop is a single-vreg dependency
         # chain at 128 lanes (latency-bound); 4 vregs/op hides it
-        # (measured 4.4 -> 2.1 ms at 8K; 1024 regresses via imbalance)
+        # (measured 4.4 -> 2.1 ms at 8K; 1024 regresses via imbalance).
+        # Small scans (< half a 4096-lane grid step) and big bps (VMEM:
+        # boundary state is a bps-tuple of (8, C_tile) planes) stay at 128.
+        c_tile = 512 if (nseg >= 2048 and self.bps <= 16) else 128
         return huffdec_kernel.cached_scan_kernel(
-            W, self.bps, ac_l, ac_c, dc_l, dc_c, 512, interpret, pats)
+            W, self.bps, ac_l, ac_c, dc_l, dc_c, c_tile, interpret, pats)
 
 
 def _plan_kernel_consts(ps, dc_ids, ac_ids):
@@ -638,7 +643,7 @@ class Decoder:
 
         # phase A: block boundaries
         kmode = deckernel_mode()
-        skfn = (plan.kernel_scan_fn(int(words.shape[1]),
+        skfn = (plan.kernel_scan_fn(int(words.shape[1]), nseg,
                                     kmode == "interpret")
                 if kmode != "off" else None)
         if skfn is not None:
@@ -768,7 +773,7 @@ class Decoder:
         K = int(caps[-1]) if caps else int(words_np.shape[1])
         kfn = (plan.kernel_block_fn(K, kmode == "interpret")
                if kmode != "off" else None)
-        skfn = (plan.kernel_scan_fn(int(words_np.shape[1]),
+        skfn = (plan.kernel_scan_fn(int(words_np.shape[1]), nseg,
                                     kmode == "interpret")
                 if kmode != "off" else None)
         dc_li = jnp.asarray(plan.dc_luma_row.astype(np.int32))

@@ -43,14 +43,33 @@ from ..types import ColorSpace, ImageParameters, PixelFormat
 from . import color
 
 
-def _row_chunk(h: int) -> int:
-    """Largest divisor of h that is a multiple of 8 and <= 96 (the cap
-    keeps a double-buffered full-width 8K row chunk inside the 16 MB
-    VMEM budget)."""
-    for r in range(96, 7, -8):
+def _row_chunk_for(h: int, per_row_bytes: int) -> int:
+    """Largest divisor of h that is a multiple of 8, <= 96, and keeps the
+    kernel's scoped VMEM inside the hardware's 16 MB limit given an
+    estimated per-row byte cost.  Budget 13 MB for safety margin."""
+    cap = min(96, int(13e6) // max(per_row_bytes, 1) // 8 * 8)
+    for r in range(cap, 7, -8):
         if h % r == 0:
             return r
     return 0
+
+
+def _pre_row_chunk(h: int, w: int, dx: int, sw: int) -> int:
+    """Row chunk for the encode preprocessor kernel.
+
+    Cost model calibrated on the one real datapoint (Mosaic reported
+    24.27 MB scoped at R=96, w=15360, dx=1, sw=2048): double-buffered
+    in/out blocks 8*R*w + 2*R*w/dx bytes plus ~50*sw bytes of slab
+    temporaries per row."""
+    return _row_chunk_for(h, 8 * w + 2 * w // dx + 50 * sw)
+
+
+def _post_row_chunk(h: int, w: int, dxc: int, sw: int) -> int:
+    """Row chunk for the decode postprocessor kernel: double-buffered
+    luma-in (2*R*w) + chroma-in (4*R*w/dxc) + RGBX-out (8*R*w) blocks
+    plus slab temporaries (the upsample repeats make them a bit larger
+    than the pre kernel's)."""
+    return _row_chunk_for(h, 10 * w + 4 * w // dxc + 60 * sw)
 
 
 def _col_chunk(w: int, dx: int) -> int:
@@ -141,7 +160,8 @@ def pre_supported(geo, pi: ImageParameters) -> bool:
         h_c, w_c = H // dy, W // dx
         if h_c != c.height or w_c != c.width:
             return False
-        if not _row_chunk(h_c) or not _col_chunk(W, dx):
+        cw = _col_chunk(W, dx)
+        if not cw or not _pre_row_chunk(h_c, W, dx, cw):
             return False
     return True
 
@@ -163,8 +183,8 @@ def preprocess_packed(raw, geo, pi: ImageParameters,
         dy = geo.max_v // c.samp_v
         px_c = px[::dy] if dy > 1 else px
         h_c = H // dy
-        R = _row_chunk(h_c)
         CW = _col_chunk(W, dx)
+        R = _pre_row_chunk(h_c, W, dx, CW)
         fn = _cached_pre_kernel(src, dst, c.index, dx, R, CW, h_c, W,
                                 interpret)
         p32 = fn(px_c)
@@ -277,7 +297,8 @@ def post_supported(geo, pi: ImageParameters) -> bool:
     W, H = pi.width, pi.height
     if W % (16 * dx):
         return False
-    if not _row_chunk(H) or not _col_chunk(W, 1):
+    cw = _col_chunk(W, 1)
+    if not cw or not _post_row_chunk(H, W, dx, cw):
         return False
     return True
 
@@ -298,8 +319,8 @@ def postprocess_packed(p32s, geo, pi: ImageParameters,
     cw4 = -(-W // (4 * dx))
     cb32 = p32s[1][jnp.asarray(rows)][:, :cw4]
     cr32 = p32s[2][jnp.asarray(rows)][:, :cw4]
-    R = _row_chunk(H)
     SW = _col_chunk(W, 1)
+    R = _post_row_chunk(H, W, dx, SW)
     fn = _cached_post_kernel(geo.param.color_space_internal,
                              pi.color_space, dx, R, SW, H, W, interpret)
     rgbx = fn(y32, cb32, cr32)

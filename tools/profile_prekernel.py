@@ -59,7 +59,9 @@ def main():
         c = geo.components[0]
         fn = prepost_kernel._cached_pre_kernel(
             pi.color_space, geo.param.color_space_internal, 0, 1,
-            prepost_kernel._row_chunk(h), prepost_kernel._col_chunk(w, 1),
+            prepost_kernel._pre_row_chunk(h, w, 1,
+                                          prepost_kernel._col_chunk(w, 1)),
+            prepost_kernel._col_chunk(w, 1),
             h, w, False)
         return fn(px)
 

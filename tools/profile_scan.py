@@ -87,10 +87,18 @@ def main():
             times[n] = best
         return (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0
 
+    # profile the exact production kernel variant: interleaved streams run
+    # the pattern-lookup decode (extra blk % bpm select chain per step)
+    pats = None
+    if plan.luma_patterns is not None:
+        dc_pat, ac_pat, bpm = plan.luma_patterns
+        pats = (tuple(bool(x) for x in dc_pat),
+                tuple(bool(x) for x in ac_pat), int(bpm))
+
     ref = None
     for ct in tiles:
         fn = huffdec_kernel.make_scan_kernel(
-            W, bps, ac_lc, ac_cc, dc_lc, dc_cc, ct, False, None)
+            W, bps, ac_lc, ac_cc, dc_lc, dc_cc, ct, False, pats)
         bs, err = fn(words, nbits, blocks_per_seg, dc_l, ac_l)
         bs = np.asarray(jax.block_until_ready(bs))
         ne = int(np.asarray(err).sum())
