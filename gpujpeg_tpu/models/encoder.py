@@ -162,14 +162,20 @@ def apply_pre_transform(raw, pre):
     return raw
 
 
-def make_rows_tokens_impl(geo: Geometry, pre=None, pairs: bool = False):
+def make_rows_tokens_impl(geo: Geometry, pre=None, pairs: bool = False,
+                          as_list: bool = False):
     """Build the raw -> (bits_rows, lens_rows) device function: per-segment
     token rows (nseg, T) in stream order, assembled purely with
     reshape/transpose/concat (the reference's device block list,
     gpujpeg_common.c:1031-1088, becomes layout math).
 
     pairs=True emits level-1 pre-merged (nseg, T/2) left-aligned words
-    (tokens.tokenize_rows pairs mode) for the fused Pallas packer."""
+    (tokens.tokenize_rows pairs mode) for the fused Pallas packer.
+
+    as_list=True returns per-scan LISTS (bits_list, lens_list) instead of
+    concatenated arrays — required for restart_interval == 0, where each
+    scan is one segment whose token count differs per component (the host
+    sequential packer consumes them scan by scan)."""
     qtabs, dc_luts, ac_luts, ac_affine = _component_luts(
         geo.param.quality, getattr(geo.param, "huffman_tables", "tuned"))
     tpb = 32 if pairs else 64   # emitted slots per block
@@ -200,6 +206,8 @@ def make_rows_tokens_impl(geo: Geometry, pre=None, pairs: bool = False):
                                             ac_affine=ac_affine[ti])
                 bits_list.append(b)
                 lens_list.append(l)
+            if as_list:
+                return bits_list, lens_list
             return (jnp.concatenate(bits_list, axis=0),
                     jnp.concatenate(lens_list, axis=0))
     else:
@@ -234,6 +242,8 @@ def make_rows_tokens_impl(geo: Geometry, pre=None, pairs: bool = False):
                                  l.reshape(S, rst, bpm_c * tpb)))
             bits = jnp.concatenate([b for b, _ in per_comp], axis=2)
             lens = jnp.concatenate([l for _, l in per_comp], axis=2)
+            if as_list:
+                return [bits.reshape(S, -1)], [lens.reshape(S, -1)]
             return bits.reshape(S, -1), lens.reshape(S, -1)
     return fn
 
@@ -1049,6 +1059,46 @@ class Encoder:
         out += b"\xff\xd9"
         return bytes(out)
 
+    def _host_tokens_fn(self, geo: Geometry):
+        pre = self._pre()
+        key = ("hosttok", geo, pre)
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(make_rows_tokens_impl(geo, pre, as_list=True))
+            self._fns[key] = fn
+        return fn
+
+    def _encode_host_entropy(self, image, geo: Geometry, t0: float) -> bytes:
+        """restart_interval == 0 path: device preprocess + DCT + tokenize,
+        HOST sequential bit-pack.  The reference splits at the same
+        boundary (CPU Huffman when restart is disabled,
+        gpujpeg_encoder.c:512-534): one segment per scan is inherently
+        sequential, so serializing it on device would mean a degenerate
+        whole-scan merge tree (minutes of compile, huge buffers); the
+        native packer does it in one pass."""
+        from .. import native
+
+        fn = self._host_tokens_fn(geo)
+        outs = fn(jnp.asarray(image))
+        jax.block_until_ready(outs)
+        bits_l = [np.asarray(b) for b in outs[0]]
+        lens_l = [np.asarray(l) for l in outs[1]]
+        t1 = time.perf_counter()
+        out = bytearray(jwriter.write_header(
+            geo, orientation=self.orientation,
+            exif_tags=self.exif_tags or None,
+            header_type=self.header_type_override))
+        for k in range(geo.scan_count):
+            out += jwriter.write_scan_header(geo, k)
+            out += native.pack_tokens(bits_l[k], lens_l[k])
+        out += b"\xff\xd9"
+        t2 = time.perf_counter()
+        self.stats.duration_in_gpu = (t1 - t0) * 1000.0
+        self.stats.duration_stream = (t2 - t1) * 1000.0
+        self.aggregate.add((t2 - t0) * 1000.0)
+        self._frames += 1
+        return bytes(out)
+
     def encode(self, image, param: Optional[Parameters] = None,
                param_image: Optional[ImageParameters] = None) -> bytes:
         """Encode one raw image to a JPEG codestream.
@@ -1058,6 +1108,9 @@ class Encoder:
         """
         t0 = time.perf_counter()
         image = np.asarray(image) if not isinstance(image, jax.Array) else image
+        geo = self.resolve(image, param, param_image)
+        if geo.param.restart_interval == 0:
+            return self._encode_host_entropy(image, geo, t0)
         geo, res, meta = self.encode_to_device(image, param, param_image)
         t1 = time.perf_counter()
         out = self.assemble(geo, res, meta)

@@ -106,6 +106,42 @@ void gj_unstuff_rows(const uint8_t* data, int64_t nseg,
     }
 }
 
+// Sequential Huffman bit-packer for the restart_interval == 0 path (the
+// reference uses its CPU encoder there too, gpujpeg_encoder.c:512-534;
+// bit emitter gpujpeg_huffman_cpu_encoder.c:72-107).  Tokens come from
+// the device tokenizer as (right-aligned codeword bits, bit length)
+// pairs; zero-length slots are padding and are skipped.  Emits 0xFF ->
+// 0xFF 0x00 stuffing and F.1.2.3 1-bit padding to the byte boundary.
+// Returns bytes written, or -1 if out_cap would overflow.
+int64_t gj_pack_tokens(const uint32_t* bits, const int32_t* lens,
+                       int64_t n, uint8_t* out, int64_t out_cap) {
+    uint64_t acc = 0;
+    int nb = 0;
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int l = lens[i];
+        if (l <= 0) continue;
+        uint32_t mask = (l >= 32) ? 0xFFFFFFFFu : ((1u << l) - 1u);
+        acc = (acc << l) | (uint64_t)(bits[i] & mask);
+        nb += l;
+        while (nb >= 8) {
+            uint8_t b = (uint8_t)(acc >> (nb - 8));
+            if (w + 2 > out_cap) return -1;
+            out[w++] = b;
+            if (b == 0xFF) out[w++] = 0x00;
+            nb -= 8;
+        }
+    }
+    if (nb > 0) {
+        uint8_t b = (uint8_t)(((acc << (8 - nb)) | ((1u << (8 - nb)) - 1u))
+                              & 0xFFu);
+        if (w + 2 > out_cap) return -1;
+        out[w++] = b;
+        if (b == 0xFF) out[w++] = 0x00;
+    }
+    return w;
+}
+
 // Deterministic LCG test-pattern fill (image_delegate.c:560-582).
 void gj_lcg_fill(uint8_t* out, int64_t n, uint32_t seed) {
     const uint64_t A = 1664525u, C = 1013904223u, M = 2147483647u;
@@ -116,6 +152,6 @@ void gj_lcg_fill(uint8_t* out, int64_t n, uint32_t seed) {
     }
 }
 
-int gj_native_version(void) { return 1; }
+int gj_native_version(void) { return 2; }
 
 }  // extern "C"

@@ -73,6 +73,27 @@ def test_no_restart_interval(rng):
     assert psnr(img, dec) > 30
 
 
+def test_no_restart_interval_subsampled(rng):
+    """rst=0 with 4:2:0 non-interleaved scans: each scan is ONE segment
+    whose token count differs per component (luma 4x chroma) — exercises
+    the host sequential packer (reference CPU-Huffman analogue,
+    gpujpeg_encoder.c:512-534) on ragged per-scan token lists."""
+    img = smooth_image(rng, 56, 72, 3)
+    enc = Encoder()
+    p = Parameters(quality=85, restart_interval=0).chroma_subsampled(
+        ((2, 2), (1, 1), (1, 1)))
+    data = enc.encode(img, p)
+    dec = pil_decode(data)
+    # 28 dB floor: chroma decimation on this content costs ~2 dB vs 4:4:4
+    assert psnr(img, dec) > 28
+    # interleaved single-scan variant
+    p2 = Parameters(quality=85, restart_interval=0,
+                    interleaved=True).chroma_subsampled(
+        ((2, 2), (1, 1), (1, 1)))
+    data2 = enc.encode(img, p2)
+    assert psnr(img, pil_decode(data2)) > 28
+
+
 def test_odd_dimensions(rng):
     # reference regression style: 7*8*20-1 style odd sizes
     img = smooth_image(rng, 41, 67, 3)

@@ -13,7 +13,27 @@ needs_native = pytest.mark.skipif(not native.available(),
 
 @needs_native
 def test_native_version():
-    assert native.lib().gj_native_version() == 1
+    assert native.lib().gj_native_version() == 2
+
+
+@needs_native
+def test_pack_tokens_matches_fallback(monkeypatch):
+    rng = np.random.default_rng(2)
+    n = 4096
+    lens = rng.integers(0, 27, size=n).astype(np.int32)
+    lens[rng.random(n) < 0.2] = 0          # padding slots are skipped
+    bits = (rng.integers(0, 1 << 27, size=n).astype(np.uint32)
+            & ((np.uint32(1) << np.maximum(lens, 1).astype(np.uint32)) - 1))
+    got = native.pack_tokens(bits, lens)
+    # pure-Python fallback as oracle
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", True)
+    want = native.pack_tokens(bits, lens)
+    assert got == want
+    # stuffing: every 0xFF byte is followed by 0x00
+    b = np.frombuffer(got, np.uint8)
+    ff = np.nonzero(b[:-1] == 0xFF)[0]
+    assert (b[ff + 1] == 0).all()
 
 
 @needs_native
