@@ -732,7 +732,11 @@ class Decoder:
         (fn, words, nbits) with the example stream's device inputs.
         Used for steady-state serving and honest device-side decode
         benchmarking (every phase in a single program, no host syncs)."""
-        first = self.decode(data)  # converge plan + split caps
+        # converge plan + split caps WITHOUT fetching the image: a full
+        # 8K host readback through a slow link costs minutes and the
+        # capacity convergence only needs the (tiny) needs vector
+        first = self.decode_to_device(data)
+        jax.block_until_ready(first)
         del first
         ps = reader.parse(data)
         param = reader.parsed_to_parameters(ps)

@@ -54,14 +54,16 @@ def _row_chunk_for(h: int, per_row_bytes: int) -> int:
     return 0
 
 
-def _pre_row_chunk(h: int, w: int, dx: int, sw: int) -> int:
+def _pre_row_chunk(h: int, w: int, dx: int, sw: int,
+                   n_out: int = 1) -> int:
     """Row chunk for the encode preprocessor kernel.
 
     Cost model calibrated on the one real datapoint (Mosaic reported
     24.27 MB scoped at R=96, w=15360, dx=1, sw=2048): double-buffered
-    in/out blocks 8*R*w + 2*R*w/dx bytes plus ~50*sw bytes of slab
-    temporaries per row."""
-    return _row_chunk_for(h, 8 * w + 2 * w // dx + 50 * sw)
+    in/out blocks 8*R*w + n_out*2*R*w/dx bytes plus ~50*sw bytes of slab
+    temporaries per row (+16*sw per extra fused component output)."""
+    return _row_chunk_for(h, 8 * w + n_out * 2 * w // dx
+                          + (50 + 16 * (n_out - 1)) * sw)
 
 
 def _post_row_chunk(h: int, w: int, dxc: int, sw: int) -> int:
@@ -83,56 +85,67 @@ def _col_chunk(w: int, dx: int) -> int:
     return 0
 
 
-def _pre_kernel_body(px_ref, out_ref, *, src_cs, dst_cs, comp_idx: int,
-                     dx: int, SW: int, identity: bool):
+def _pre_kernel_body(px_ref, *out_refs, src_cs, dst_cs,
+                     comp_idxs: tuple, dx: int, SW: int, identity: bool):
     # full-width row chunk; the transpose trick runs over SW-pixel slabs
     # so the (pixels, rows) intermediates stay small (out lane widths per
     # slab need not be 128-divisible — in-kernel ref slices may be
-    # arbitrary static ranges, unlike BlockSpec block shapes)
+    # arbitrary static ranges, unlike BlockSpec block shapes).  All
+    # same-decimation components are emitted from ONE pass: the image
+    # read, the slab transposes, and the color transform are shared
+    # (separate per-component kernels re-read the full frame each —
+    # measured 5.4 ms vs the ~0.6 ms traffic floor at 8K).
     W = px_ref.shape[1]
     for j in range(0, W, SW):
         xt = px_ref[:, j:j + SW].T         # (SW, R) pixels on sublanes
         if identity:
-            c = ((xt >> jnp.uint32(8 * comp_idx)) & jnp.uint32(0xFF)) \
-                .astype(jnp.int32)
+            cvals = [((xt >> jnp.uint32(8 * ci)) & jnp.uint32(0xFF))
+                     .astype(jnp.int32) for ci in comp_idxs]
         else:
             r = (xt & jnp.uint32(0xFF)).astype(jnp.int32)
             g = ((xt >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
             b = ((xt >> 16) & jnp.uint32(0xFF)).astype(jnp.int32)
-            c = color.convert_channels(r, g, b, src_cs, dst_cs)[comp_idx]
-        w = pltpu.bitcast(c.astype(jnp.uint8), jnp.uint32)   # (SW/4, R)
-        d = dx
-        while d > 1:
-            # keep bytes of even sample positions: bytes 0 and 2 of each
-            # word, narrowed to u16 and re-merged by the sublane bitcast
-            ev = (w & jnp.uint32(0xFF)) | ((w >> 16) & jnp.uint32(0xFF00))
-            w = pltpu.bitcast(ev.astype(jnp.uint16), jnp.uint32)
-            d //= 2
-        ow = SW // (4 * dx)
-        out_ref[:, j // (4 * dx):j // (4 * dx) + ow] = w.T
+            conv = color.convert_channels(r, g, b, src_cs, dst_cs)
+            cvals = [conv[ci] for ci in comp_idxs]
+        for out_ref, c in zip(out_refs, cvals):
+            w = pltpu.bitcast(c.astype(jnp.uint8), jnp.uint32)  # (SW/4, R)
+            d = dx
+            while d > 1:
+                # keep bytes of even sample positions: bytes 0 and 2 of
+                # each word, narrowed to u16 and re-merged by the sublane
+                # bitcast
+                ev = ((w & jnp.uint32(0xFF))
+                      | ((w >> 16) & jnp.uint32(0xFF00)))
+                w = pltpu.bitcast(ev.astype(jnp.uint16), jnp.uint32)
+                d //= 2
+            ow = SW // (4 * dx)
+            out_ref[:, j // (4 * dx):j // (4 * dx) + ow] = w.T
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_pre_kernel(src_cs, dst_cs, comp_idx, dx, R, CW, h, w,
+def _cached_pre_kernel(src_cs, dst_cs, comp_idxs: tuple, dx, R, CW, h, w,
                        interpret):
+    n_out = len(comp_idxs)
     kernel = functools.partial(
         _pre_kernel_body, src_cs=src_cs, dst_cs=dst_cs,
-        comp_idx=comp_idx, dx=dx, SW=CW,
+        comp_idxs=tuple(comp_idxs), dx=dx, SW=CW,
         identity=(src_cs == dst_cs or src_cs == ColorSpace.NONE
                   or dst_cs == ColorSpace.NONE))
+    ospec = pl.BlockSpec((R, w // (4 * dx)), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((h, w // (4 * dx)), jnp.uint32)
 
     def fn(px):
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(h // R,),
             in_specs=[pl.BlockSpec((R, w), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((R, w // (4 * dx)), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((h, w // (4 * dx)),
-                                           jnp.uint32),
+            out_specs=[ospec] * n_out,
+            out_shape=[oshape] * n_out,
             interpret=interpret,
         )(px)
+        return out
 
     return fn
 
@@ -150,6 +163,7 @@ def pre_supported(geo, pi: ImageParameters) -> bool:
                           else color._FROM_RGB):
                 return False
     H, W = pi.height, pi.width
+    groups = {}
     for c in geo.components:
         dx = geo.max_h // c.samp_h
         dy = geo.max_v // c.samp_v
@@ -160,8 +174,10 @@ def pre_supported(geo, pi: ImageParameters) -> bool:
         h_c, w_c = H // dy, W // dx
         if h_c != c.height or w_c != c.width:
             return False
+        groups.setdefault((dx, dy), []).append(c)
+    for (dx, dy), comps in groups.items():
         cw = _col_chunk(W, dx)
-        if not cw or not _pre_row_chunk(h_c, W, dx, cw):
+        if not cw or not _pre_row_chunk(H // dy, W, dx, cw, len(comps)):
             return False
     return True
 
@@ -177,21 +193,25 @@ def preprocess_packed(raw, geo, pi: ImageParameters,
     rgbx = jnp.pad(raw, ((0, 0), (0, 0), (0, 1)))
     px = jax.lax.bitcast_convert_type(rgbx, jnp.uint32)   # (H, W)
     src, dst = pi.color_space, geo.param.color_space_internal
-    out = []
+    groups = {}
     for c in geo.components:
         dx = geo.max_h // c.samp_h
         dy = geo.max_v // c.samp_v
+        groups.setdefault((dx, dy), []).append(c)
+    out = [None] * len(geo.components)
+    for (dx, dy), comps in groups.items():
         px_c = px[::dy] if dy > 1 else px
         h_c = H // dy
         CW = _col_chunk(W, dx)
-        R = _pre_row_chunk(h_c, W, dx, CW)
-        fn = _cached_pre_kernel(src, dst, c.index, dx, R, CW, h_c, W,
-                                interpret)
-        p32 = fn(px_c)
-        dw4 = c.data_width // 4
-        p32 = jnp.pad(p32, ((0, c.data_height - h_c),
-                            (0, dw4 - p32.shape[1])))
-        out.append(p32)
+        R = _pre_row_chunk(h_c, W, dx, CW, len(comps))
+        fn = _cached_pre_kernel(src, dst, tuple(c.index for c in comps),
+                                dx, R, CW, h_c, W, interpret)
+        p32s = fn(px_c)
+        for c, p32 in zip(comps, p32s):
+            dw4 = c.data_width // 4
+            p32 = jnp.pad(p32, ((0, c.data_height - h_c),
+                                (0, dw4 - p32.shape[1])))
+            out[c.index] = p32
     return out
 
 

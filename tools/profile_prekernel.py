@@ -58,12 +58,12 @@ def main():
         px = f_pad(r)
         c = geo.components[0]
         fn = prepost_kernel._cached_pre_kernel(
-            pi.color_space, geo.param.color_space_internal, 0, 1,
+            pi.color_space, geo.param.color_space_internal, (0,), 1,
             prepost_kernel._pre_row_chunk(h, w, 1,
                                           prepost_kernel._col_chunk(w, 1)),
             prepost_kernel._col_chunk(w, 1),
             h, w, False)
-        return fn(px)
+        return fn(px)[0]
 
     def f_all(r):
         return prepost_kernel.preprocess_packed(r, geo, pi)
