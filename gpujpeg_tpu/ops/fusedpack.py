@@ -105,14 +105,16 @@ def _deep_stuff_kernel_body(w_ref, l_ref, rst_ref, out_ref, ob_ref,
     blen = l_ref[:, :]                    # (N0, R) i32, one buffer per sublane
     rst = rst_ref[0:1, :].astype(jnp.uint32)
     out, out_bytes, needs_vals = _tree_pad_stuff(
-        x, blen, rst, N0=N0, D=D, W_stuff=W_stuff, z_cap=z_cap)
+        x, blen, rst, N0=N0, D=D, W_stuff=W_stuff, z_cap=z_cap,
+        first_level_move=True)   # pre-merged pairs may be exactly 32 bits
     out_ref[:, :] = out[:W_out]
     ob_ref[:, :] = out_bytes
     _write_needs(needs_ref, needs_vals)
 
 
 def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
-                    z_cap: int, compact_after=(), stop_after=None):
+                    z_cap: int, compact_after=(), stop_after=None,
+                    first_level_move: bool = False):
     """Shared VMEM back-end: in-place span-doubling merge tree over (N0, R)
     left-aligned word buffers, F.1.2.3 padding, byte stuffing, RST append.
 
@@ -123,8 +125,14 @@ def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
     and therefore the cost of every later level — the density-adaptive
     counterpart of the XLA tree's l0 knob.
 
-    Returns (out (W_stuff, R) u32, out_bytes (1, R) i32, needs_vals list of
-    scalars: per-level max bits (D), max stuffed zeros, max output bytes)."""
+    first_level_move: True when level-1 inputs may be exactly 32 bits
+    (pre-merged pairs) so the even buffer can be full and the odd words
+    need a 1-word move; single tokens (the megakernel) are < 32 bits and
+    skip the level-1 move statically.
+
+    Returns (out (W_stuff, R) u32, out_bytes (1, R) i32, needs_vals list
+    of (1, R) per-LANE maxima rows: per-level max bits (D), max stuffed
+    zeros, max output bytes — the caller cross-lane-reduces them once)."""
     R = x.shape[1]
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (N0, R), 0)
@@ -132,11 +140,12 @@ def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
     N = N0
     lg = 0                                # log2 of current buffer span
 
-    # upper bound on any single buffer's bit length entering level d: a
-    # lone token is < 32 bits, afterwards the previous level's realized
-    # max (already reduced for `needs`) — gates the move loop without a
-    # separate masked reduce per level
-    la_bound = jnp.int32(31)
+    # nb0 = scalar max merged-pair bits after level 1: the ONE cross-lane
+    # reduce on the critical path.  Levels d >= 2 gate their move loops on
+    # the rigorous bound needs[d-1] <= nb0 * 2^(d-2) (a 2^(d-1)-token
+    # group is 2^(d-2) pairs) — per-level exact reduces formed a serial
+    # reduce -> gate -> compute chain that stalled the VPU every level.
+    nb0 = None
 
     # ---- deep merge levels: span doubles each level, buffers stay put ----
     for d in range(1, D + 1):
@@ -148,30 +157,37 @@ def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
         la = jnp.where(second, _roll(blen, half), blen)
         lb = jnp.where(second, blen, _roll(blen, -half))
         blen = la + lb
-        la_max = la_bound
-        needs_vals.append(jnp.max(blen))
-        la_bound = needs_vals[-1]
+        # per-LANE level maxima (sublane-only reduce; cheap, off-path)
+        needs_vals.append(jnp.max(blen, axis=0, keepdims=True))
+        if d == 1:
+            nb0 = jnp.max(blen)
 
         b = jnp.where(second, x, jnp.uint32(0))
         # whole-word move: b's words go from rel slots [half, span) to
         # [w, w+half) with w = la//32.  Decomposed as one STATIC roll by
         # -half (slots [0, half)) followed by a log-step move UP by w;
-        # steps whose bit exceeds the tile-wide max w are skipped at
+        # steps whose bit exceeds the tile-wide bound are skipped at
         # runtime (lax.cond on the scalar) — on typical content w <= 2,
         # so only 1-2 of the steps execute.
         keep = (sub & (span - 1)) < half              # static
         b = jnp.where(keep, _roll(b, -half), jnp.uint32(0))
         w = la >> 5
-        w_max = la_max >> 5
-        for j in range(lg + 1):
-            step = 1 << j
+        if d == 1:
+            steps = [1] if first_level_move else []
+        else:
+            steps = [1 << j for j in range(lg + 1)]
+        w_bound = None if d == 1 else (nb0 << (d - 2)) >> 5
+        for step in steps:
 
             def _move(b=b, step=step, span=span, w=w):
                 inside = (sub & (span - 1)) >= step   # static per (j, d)
                 moved = jnp.where(inside, _roll(b, step), jnp.uint32(0))
                 return jnp.where((w & step) != 0, moved, b)
 
-            b = jax.lax.cond(w_max >= step, _move, lambda b=b: b)
+            if w_bound is None:
+                b = _move()
+            else:
+                b = jax.lax.cond(w_bound >= step, _move, lambda b=b: b)
         # sub-word shift right by r = la & 31 with carry from the previous
         # word (zero below w, so no dynamic masking is needed)
         r = (la & 31).astype(jnp.uint32)
@@ -243,7 +259,7 @@ def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
         s *= 2
     cum_excl = cum - word_ff
     nff = cum[W_stuff - 1:W_stuff, :]     # (1, R) total FFs per row
-    needs_vals.append(jnp.max(nff))
+    needs_vals.append(nff)
     nff_max = jnp.max(nff)
 
     # c_packed: per-byte exclusive FF count (clamped; invalid bytes 0xFF)
@@ -290,17 +306,25 @@ def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
     out = out | jnp.where(has & (ssub == wi_e), mk1, jnp.uint32(0))
     out = out | jnp.where(has & (ssub == wi_e + 1), mk2, jnp.uint32(0))
     out_bytes = end + mlen
-    needs_vals.append(jnp.max(out_bytes))
+    needs_vals.append(out_bytes)
     return out, out_bytes, needs_vals
 
 
 def _write_needs(needs_ref, needs_vals):
-    # needs: one (8, 128)-tile accumulator block shared by every grid step
-    # (TPU grid steps run sequentially on the core) — value i in lane i
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    nv = jnp.zeros((8, 128), jnp.int32)
-    for i, v in enumerate(needs_vals):
-        nv = jnp.where(lane == i, v, nv)
+    """needs: one (16, 128) accumulator block shared by every grid step
+    (TPU grid steps run sequentially on the core) — row i = need i,
+    value broadcast over lanes.  needs_vals: list of (1, R) per-lane
+    maxima rows (or scalars); ONE cross-lane reduce covers all of them,
+    instead of a serial scalar reduce per tree level."""
+    stacked = jnp.concatenate([v.astype(jnp.int32) for v in needs_vals],
+                              axis=0)
+    red = jnp.max(stacked, axis=1, keepdims=True)       # (n, 1)
+    n = red.shape[0]
+    assert n <= 16, "needs vector exceeds the (16, 128) output block"
+    if n < 16:
+        red = jnp.concatenate(
+            [red, jnp.zeros((16 - n, 1), jnp.int32)], axis=0)
+    nv = jnp.broadcast_to(red, (16, 128))
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -349,17 +373,17 @@ def make_deep_stuff_kernel(N0: int, D: int, W_out: int, z_cap: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, R_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128), lambda i: (0, 0),
+                pl.BlockSpec((16, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((W_out, Rp), jnp.uint32),
                 jax.ShapeDtypeStruct((1, Rp), jnp.int32),
-                jax.ShapeDtypeStruct((8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((16, 128), jnp.int32),
             ],
             interpret=interpret,
         )(words_t, blen_t, rst)
-        return out_t[:, :Rall], ob[0, :Rall], needs[0, : D + 2]
+        return out_t[:, :Rall], ob[0, :Rall], needs[: D + 2, 0]
 
     return fn
 
@@ -397,7 +421,7 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
         out_ref[:, :] = jnp.broadcast_to(m.astype(jnp.uint32),
                                          out_ref.shape)
         ob_ref[:, :] = m
-        _write_needs(needs_ref, [jnp.max(m)] * (D + 2))
+        _write_needs(needs_ref, [m] * (D + 2))
     mats = refs[:dct_nmat]
     valid_ref, luma_ref, rst_ref, out_ref, ob_ref, needs_ref = \
         refs[dct_nmat:]
@@ -409,21 +433,36 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
         # exists in HBM (its materialize + layout-convert + re-read chain
         # cost ~10 ms at 8K).  Unpack: sublane-repeat x4 + per-sublane
         # byte shift (sample 4g+k = byte k of word g).
+        #
+        # The matrices arrive as (P, P) two-block diagonals (P = 128 =
+        # the MXU tile, see _dct_consts) applied per 128-sublane slice:
+        # same math as one dense (C, C) block-diagonal matmul but 8x
+        # fewer MXU passes at full tile utilization.
         w = c_ref[:, :]                        # (C/4, R) u32
         w4 = jnp.repeat(w, 4, axis=0)          # (C, R), element-repeat
         ksub = jax.lax.broadcasted_iota(jnp.int32, w4.shape, 0) & 3
         xi = ((w4 >> (ksub * 8).astype(jnp.uint32))
               & jnp.uint32(0xFF)).astype(jnp.int32)
+        P = mats[0].shape[0]
+
+        def dct_slices(xb, dot1):
+            ys = [dot1(mats, xb[p:p + P]) for p in range(0, C, P)]
+            return jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
+
         if dct_nmat == 1:      # exact-f32 path (CPU/interpret parity)
-            y = jnp.dot(mats[0][:, :], xi.astype(jnp.float32),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+            y = dct_slices(
+                xi.astype(jnp.float32),
+                lambda m, xs: jnp.dot(
+                    m[0][:, :], xs, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
         else:
-            xb = xi.astype(jnp.float32).astype(jnp.bfloat16)
-            y = (jnp.dot(mats[0][:, :], xb,
-                         preferred_element_type=jnp.float32)
-                 + jnp.dot(mats[1][:, :], xb,
-                           preferred_element_type=jnp.float32))
+            y = dct_slices(
+                xi.astype(jnp.float32).astype(jnp.bfloat16),
+                lambda m, xs: (
+                    jnp.dot(m[0][:, :], xs,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(m[1][:, :], xs,
+                              preferred_element_type=jnp.float32)))
         # bias (the folded -128 level shift) is per-COEFFICIENT-SLOT:
         # rebuild it from python scalars via a select chain on zz
         # (array closures are not allowed in pallas kernels)
@@ -439,12 +478,30 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
     if stop_after == "dct":
         return _early_out(v, out_ref, ob_ref, needs_ref)
     R = v.shape[1]
+    NB = C // 64                               # blocks per segment row
     sub = jax.lax.broadcasted_iota(jnp.int32, (C, R), 0)
     zz = sub & 63                              # position within block
     is_dc = zz == 0
+    prec = jax.lax.Precision.HIGHEST
 
-    # DC differential (F.1.1.5.1): predictor = previous block's DC in the
-    # same segment row; restart reset is automatic at row start
+    # one-hot extraction matrices (B, C): strided value slices don't
+    # lower in Mosaic, but an exact-f32 matmul pulls one slot per block
+    # onto the (NB, R) subgrid where per-block work costs 1/64th, and
+    # jnp.repeat (a free sublane broadcast) puts results back
+    bi = jax.lax.broadcasted_iota(jnp.int32, (NB, C), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (NB, C), 1)
+
+    def extract(arr_f32, slot):
+        pick = (ci == bi * 64 + slot).astype(jnp.float32)
+        return jnp.round(jnp.dot(pick, arr_f32,
+                                 preferred_element_type=jnp.float32,
+                                 precision=prec)).astype(jnp.int32)
+
+    # DC differential (F.1.1.5.1): predictor = previous block's DC in
+    # the same segment row; restart reset is automatic at row start.
+    # Full-shape roll: one sublane roll (0.09 us/tile) beats the one-hot
+    # matmul extraction (0.29 us/tile) — elementwise selects are free on
+    # this VPU, data movement is not.
     pred = jnp.where(sub >= 64, _roll(v, 64), 0)
     v = jnp.where(is_dc, v - pred, v)
 
@@ -463,10 +520,12 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
     lb = jnp.where(is_dc, 0, _roll(m, 1))      # last nonzero before slot
     run = zz - lb - 1
     zri = zz - lb                              # zeros up to & incl. slot
-    f = nz.astype(jnp.int32)
-    for s in (1, 2, 4, 8, 16, 32):
-        f = jnp.where(zz <= 63 - s, jnp.maximum(f, _roll(f, -s)), f)
-    has_after = jnp.where(zz == 63, 0, _roll(f, -1)) > 0
+    # any-nonzero-after: the block's last marked slot (= cummax at 63,
+    # extracted + broadcast) beats the old 6-step backward roll scan;
+    # slot 0 is marked for every block but never exceeds zz >= 1, and
+    # has_after is only consumed at AC slots
+    mlast = extract(m.astype(jnp.float32), 63)  # (NB, R)
+    has_after = jnp.repeat(mlast, 64, axis=0) > zz
 
     is_code = nz & ~is_dc
     is_zrl = (~nz) & (~is_dc) & has_after & ((zri & 15) == 0)
@@ -573,9 +632,9 @@ def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
         # valid=0 rows) — an XLA pad here cost ~2.3 ms at 8K
         kern = (kernel if Rp == Rall
                 else functools.partial(kernel, Rall=Rall))
-        mat_specs = [pl.BlockSpec((C, C), lambda i: (0, 0),
+        mat_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
-                     for _ in mats]
+                     for m in mats]
         out_t, ob, needs = pl.pallas_call(
             kern,
             grid=(G,),
@@ -595,18 +654,18 @@ def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, R_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128), lambda i: (0, 0),
+                pl.BlockSpec((16, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((W_out, Rall), jnp.uint32),
                 jax.ShapeDtypeStruct((1, Rall), jnp.int32),
-                jax.ShapeDtypeStruct((8, 128), jnp.int32),
+                jax.ShapeDtypeStruct((16, 128), jnp.int32),
             ],
             interpret=interpret,
         )(coefs_t, *[jnp.asarray(m) for m in mats],
           valid_t, luma_t, rst)
-        return out_t, ob[0], needs[0, : D + 2]
+        return out_t, ob[0], needs[: D + 2, 0]
 
     return fn
 
@@ -620,11 +679,17 @@ def _cached_entropy_kernel(C, W_out, z_cap, B, consts, R_tile, interpret,
 
 @functools.lru_cache(maxsize=64)
 def _dct_consts(dct_key, C: int):
-    """Padded block-diagonal DCT matrices for the in-kernel forward DCT.
+    """Per-slice block-diagonal DCT matrices for the in-kernel forward
+    DCT.
 
-    dct_key = (quality, luma, rst, use_bf16); returns (bd_hi, bd_lo,
-    bias) with bd shapes (C, C) (zero-padded beyond rst*64) —
-    bit-identical math to dct.fdct_quantize_bd / fdct_quantize_t."""
+    dct_key = (quality, luma, rst, use_bf16); returns (m_hi, m_lo, bias)
+    with matrix shapes (P, P), P = min(C, 128): a two-block diagonal
+    kron(eye(P/64), Mq.T) applied to every P-sublane slice of the sample
+    patch.  P = 128 matches the MXU tile, so the slice loop does 8x
+    fewer FLOPs than the old dense (C, C) matmul at full utilization.
+    Bit-identical math to dct.fdct_quantize_bd / fdct_quantize_t (pad
+    blocks beyond rst*64 see zero samples, so their product is zero
+    like the old zero-padded dense diagonal)."""
     from ..utils import tables as _t
 
     quality, luma, rst, use_bf16 = dct_key
@@ -633,21 +698,20 @@ def _dct_consts(dct_key, C: int):
     C0 = rst * 64
     bias_t = np.zeros(C, np.float32)
     bias_t[:C0] = np.tile(np.asarray(bias, np.float32), rst)
+    P = min(C, 128)
+    nb = P // 64
     if use_bf16:
         hi = np.asarray(Mq.astype(np.float32).astype(jnp.bfloat16))
         lo = (Mq.astype(np.float32) - hi.astype(np.float32))
-        bd_hi = np.zeros((C, C), np.float32)
-        bd_lo = np.zeros((C, C), np.float32)
-        bd_hi[:C0, :C0] = np.kron(np.eye(rst, dtype=np.float32),
-                                  hi.T.astype(np.float32))
-        bd_lo[:C0, :C0] = np.kron(np.eye(rst, dtype=np.float32),
-                                  lo.T.astype(np.float32))
-        return (bd_hi.astype(jnp.bfloat16), bd_lo.astype(jnp.bfloat16),
+        m_hi = np.kron(np.eye(nb, dtype=np.float32),
+                       hi.T.astype(np.float32))
+        m_lo = np.kron(np.eye(nb, dtype=np.float32),
+                       lo.T.astype(np.float32))
+        return (m_hi.astype(jnp.bfloat16), m_lo.astype(jnp.bfloat16),
                 bias_t)
-    bd = np.zeros((C, C), np.float32)
-    bd[:C0, :C0] = np.kron(np.eye(rst, dtype=np.float64),
-                           np.asarray(Mq).T).astype(np.float32)
-    return (bd, None, bias_t)
+    m = np.kron(np.eye(nb, dtype=np.float64),
+                np.asarray(Mq).T).astype(np.float32)
+    return (m, None, bias_t)
 
 
 @functools.lru_cache(maxsize=64)
