@@ -58,9 +58,9 @@ def synth_frame(h, w, seed=7):
     @jax.jit
     def gen(key):
         k1, k2 = jax.random.split(key)
-        small = jax.random.uniform(k1, (h // 16, w // 16, 3), jnp.float32,
-                                   0.0, 255.0)
-        up = jnp.repeat(jnp.repeat(small, 16, axis=0), 16, axis=1)
+        small = jax.random.uniform(k1, (-(-h // 16), -(-w // 16), 3),
+                                   jnp.float32, 0.0, 255.0)
+        up = jnp.repeat(jnp.repeat(small, 16, axis=0), 16, axis=1)[:h, :w]
         noise = jax.random.normal(k2, (h, w, 3), jnp.float32) * 6.0
         return jnp.clip(up + noise, 0, 255).astype(jnp.uint8)
 

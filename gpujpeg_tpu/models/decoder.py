@@ -625,7 +625,7 @@ class Decoder:
 
         ranges = self._segment_ranges(ps, geo)
         nseg = geo.segment_count
-        max_seg_bytes = max((en - st) for st, en in ranges)
+        max_seg_bytes = int((ranges[:, 1] - ranges[:, 0]).max())
         max_words = _bucket((max_seg_bytes + 3) // 4)
         words_np, nbits = segprep.pack_segments_matrix(ps.data, ranges,
                                                        max_words)
@@ -744,7 +744,7 @@ class Decoder:
                                 self.alignment_bytes)
         geo = get_geometry(param, out_pi.with_(width_padding=0))
         ranges = self._segment_ranges(ps, geo)
-        max_seg_bytes = max((en - st) for st, en in ranges)
+        max_seg_bytes = int((ranges[:, 1] - ranges[:, 0]).max())
         max_words = _bucket((max_seg_bytes + 3) // 4)
         words_np, nbits = segprep.pack_segments_matrix(ps.data, ranges,
                                                        max_words)
@@ -809,12 +809,12 @@ class Decoder:
         return jax.jit(fn), jnp.asarray(words_np), jnp.asarray(nbits)
 
     @staticmethod
-    def _segment_ranges(ps, geo):
+    def _segment_ranges(ps, geo) -> np.ndarray:
         """Per-scan segment ranges padded/truncated to the geometry's
-        expected counts.  A recovered corrupt stream can come up short
-        (resynced segments merge, gpujpeg_reader.c:1071-1104); missing
-        segments decode as empty (zero blocks) instead of failing the
-        whole frame."""
+        expected counts, as one (total, 2) int64 array.  A recovered
+        corrupt stream can come up short (resynced segments merge,
+        gpujpeg_reader.c:1071-1104); missing segments decode as empty
+        (zero blocks) instead of failing the whole frame."""
         import logging
 
         expected = np.diff(geo.scan_seg_bounds)
@@ -824,7 +824,7 @@ class Decoder:
                 f"geometry expects {geo.scan_count}")
         ranges = []
         for k, scan in enumerate(ps.scans):
-            segs = list(scan.segments)
+            segs = np.asarray(scan.segments, np.int64).reshape(-1, 2)
             want = int(expected[k])
             if len(segs) != want:
                 logging.getLogger("gpujpeg_tpu").warning(
@@ -833,9 +833,11 @@ class Decoder:
                 if len(segs) > want:
                     segs = segs[:want]
                 else:
-                    segs += [(0, 0)] * (want - len(segs))
-            ranges += segs
-        return ranges
+                    segs = np.concatenate(
+                        [segs, np.zeros((want - len(segs), 2), np.int64)])
+            ranges.append(segs)
+        return np.concatenate(ranges) if ranges \
+            else np.zeros((0, 2), np.int64)
 
     def _decode_legacy(self, ps, geo, words, nbits, out_pi=None):
         """LUT-based lane-per-segment decode (ops.huffdec): slower, but

@@ -742,6 +742,22 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
     return fn
 
 
+def caps_ok_for(geo: Geometry, caps, needs) -> bool:
+    """True when a run's realized needs fit the capacities (any caps
+    flavor) — the single validation used by encode_to_device's
+    convergence loop and encode_pipelined's deferred check."""
+    if isinstance(caps, MegaCaps):
+        return mega_caps_ok(geo, caps, needs)
+    if isinstance(caps, FusedCaps):
+        from ..ops import fusedpack
+
+        return fusedpack.needs_ok(needs, caps.l0, caps.z_cap, caps.w_out)
+    need1, need_z = needs[:-1], int(needs[-1])
+    return (all(int(need1[i]) <= caps.pack[i] * 32
+                for i in range(len(caps.pack)))
+            and need_z <= caps.z_cap)
+
+
 def _initial_caps_for(geo: Geometry):
     mode = fused_mode()
     if mode == "off":
@@ -1006,14 +1022,14 @@ class Encoder:
             self._caps[geo] = caps
         raise RuntimeError("encode capacity did not converge")
 
-    def assemble(self, geo: Geometry, res, meta) -> bytes:
+    def assemble(self, geo: Geometry, res, meta=None) -> bytes:
         """Host codestream assembly from device rows (headers + per-scan
-        row compaction; RST markers and stuffing arrive from the device)."""
-        ns = geo.scan_count
-        base = self._caps[geo].n_needs
-        scan_start = meta[base:base + ns]
-        scan_end = meta[base + ns:base + 2 * ns]
+        row compaction; RST markers and stuffing arrive from the device).
 
+        meta is accepted for API symmetry with encode_to_device but not
+        needed: assembly reads row_bytes directly (the per-scan offsets in
+        meta exist for device-side consumers)."""
+        ns = geo.scan_count
         row_bytes = np.asarray(res["row_bytes"])
 
         def rowbytes_u8(rows):
@@ -1120,6 +1136,54 @@ class Encoder:
         self.aggregate.add((t2 - t0) * 1000.0)
         self._frames += 1
         return out
+
+    def encode_pipelined(self, frames, param: Optional[Parameters] = None,
+                         param_image: Optional[ImageParameters] = None):
+        """Double-buffered steady-state encode: yields one JPEG codestream
+        per input frame, overlapping host assembly with device compute.
+
+        Frame i+1's device program is dispatched (asynchronously) BEFORE
+        frame i's rows are fetched and assembled, so the host-side header
+        write + row compaction of frame i runs while the device crunches
+        frame i+1 — the TPU analogue of the reference's copy/compute
+        overlap on CUDA streams (gpujpeg_encoder.c:423-424,550-563).
+
+        The first frame runs the capacity-convergence path; later frames
+        dispatch immediately and validate their needs vector only when
+        their result is consumed.  On overflow (unusually dense content)
+        the frame is transparently re-encoded with grown capacities —
+        output bytes are always identical to sequential encode()."""
+        it = iter(frames)
+        first = next(it, None)
+        if first is None:
+            return
+        x0 = first if isinstance(first, jax.Array) else np.asarray(first)
+        geo = self.resolve(x0, param, param_image)
+        if geo.param.restart_interval == 0:
+            # host-entropy path: no device pipeline to overlap
+            yield self.encode(first, param, param_image)
+            for f in it:
+                yield self.encode(f, param, param_image)
+            return
+
+        def finish(res, raw):
+            meta = np.asarray(res["meta"])   # blocks until the frame is done
+            caps = self._caps[geo]
+            if not caps_ok_for(geo, caps, meta[:self._get_fn(geo, caps)
+                                               ._n_needs]):
+                _, res, meta = self.encode_to_device(raw, param, param_image)
+            out = self.assemble(geo, res, meta)
+            self._frames += 1
+            return out
+
+        _, res_prev, _ = self.encode_to_device(x0, param, param_image)
+        prev_raw = x0
+        for f in it:
+            x = jnp.asarray(f)
+            res_next = self._get_fn(geo, self._caps[geo])(x)  # async
+            yield finish(res_prev, prev_raw)
+            res_prev, prev_raw = res_next, x
+        yield finish(res_prev, prev_raw)
 
     def get_stats(self) -> DurationStats:
         return self.stats

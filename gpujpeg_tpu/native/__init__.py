@@ -115,8 +115,8 @@ def assemble_rows(rows_bytes: np.ndarray, row_bytes: np.ndarray) -> bytes:
 def scan_split(data: np.ndarray, start: int, max_segments: int):
     """Split scan entropy data at RST markers (native memchr loop).
 
-    Returns (segments [(abs_start, abs_end)), end_pos, bad_markers) or
-    None when the native library is unavailable."""
+    Returns (segments (n, 2) int64 [abs_start, abs_end) rows, end_pos,
+    bad_markers) or None when the native library is unavailable."""
     L = lib()
     if L is None:
         return None
@@ -129,21 +129,22 @@ def scan_split(data: np.ndarray, start: int, max_segments: int):
     n = L.gj_scan_split(_ptr(sub), len(sub), _ptr(starts), _ptr(ends),
                         max_segments, ctypes.byref(end_pos),
                         ctypes.byref(bad))
-    segs = [(int(starts[i]) + start, int(ends[i]) + start)
-            for i in range(n)]
+    segs = np.stack([starts[:n], ends[:n]], axis=1) + start
     return segs, int(end_pos.value) + start, int(bad.value)
 
 
 def unstuff_rows(data: np.ndarray, ranges, row_words: int):
     """Unstuff segments into a (nseg, row_words) big-endian u32 matrix.
 
+    ranges: (nseg, 2) int64 [start, end) rows (or a list of pairs).
     Returns (words, nbits) or None when the native library is missing."""
     L = lib()
     if L is None:
         return None
-    nseg = len(ranges)
-    starts = np.asarray([r[0] for r in ranges], np.int64)
-    ends = np.asarray([r[1] for r in ranges], np.int64)
+    r = np.asarray(ranges, np.int64).reshape(-1, 2)
+    nseg = len(r)
+    starts = np.ascontiguousarray(r[:, 0])
+    ends = np.ascontiguousarray(r[:, 1])
     mat = np.empty((nseg, row_words * 4), np.uint8)
     out_bytes = np.zeros(nseg, np.int32)
     data = np.ascontiguousarray(data)

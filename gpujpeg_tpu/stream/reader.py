@@ -30,9 +30,10 @@ class ScanInfo:
     comp_indices: List[int]
     dc_table: List[int]          # per scan component
     ac_table: List[int]
-    segments: List[Tuple[int, int]] = dataclasses.field(default_factory=list)
-    # byte ranges [start, end) into the original buffer, entropy data only
-    # (RST markers excluded)
+    # (n, 2) int64 [start, end) byte ranges into the original buffer,
+    # entropy data only (RST markers excluded)
+    segments: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 2), np.int64))
     sos_pos: int = -1            # offset of the 0xFF of this scan's SOS
     data_start: int = -1         # offset of the first entropy byte
 
@@ -91,12 +92,12 @@ def _read_segment_body(data: np.ndarray, start: int,
     """Split scan entropy data at RST markers from `start` (vectorized
     memchr-style splitter, cf. gpujpeg_reader.c:1038-1155).
 
-    Returns (segments, end_pos) where segments are [st, en) ranges excluding
-    RST markers.  The RST0-7 modulo sequence is verified; on mismatch a
-    warning is logged (the reference additionally resyncs mid-stream,
-    reader.c:1071-1104 — our recovery keeps all segments and realigns).
-    Empty segments between consecutive RSTs are dropped (FFmpeg quirk,
-    reader.c:1131-1134).
+    Returns (segments, end_pos) where segments is an (n, 2) int64 array of
+    [st, en) ranges excluding RST markers.  The RST0-7 modulo sequence is
+    verified; on mismatch a warning is logged (the reference additionally
+    resyncs mid-stream, reader.c:1071-1104 — our recovery keeps all
+    segments and realigns).  Empty segments between consecutive RSTs are
+    dropped (FFmpeg quirk, reader.c:1131-1134).
     """
     n = len(data)
     from .. import native
@@ -154,7 +155,8 @@ def _read_segment_body(data: np.ndarray, start: int,
     starts = np.concatenate([[start], rst_pos + 2])
     ends = np.concatenate([rst_pos, [end_pos]])
     keep = ends > starts
-    segments = list(zip(starts[keep].tolist(), ends[keep].tolist()))
+    segments = np.stack([starts[keep], ends[keep]], axis=1) \
+        .astype(np.int64)
     return segments, end_pos
 
 
@@ -220,7 +222,7 @@ def parse(data: bytes) -> ParsedStream:
                 scan_index = body[0]
                 payload = np.frombuffer(bytes(body[1:]), dtype=">u4")
                 ps.segment_info.setdefault(scan_index, []).extend(
-                    int(x) for x in payload)
+                    payload.tolist())
         elif marker == markers.APP14:
             if body[:5] == b"Adobe" and len(body) >= 12:
                 ps.adobe_transform = body[11]
@@ -306,8 +308,9 @@ def parse(data: bytes) -> ParsedStream:
             scan.sos_pos = pos - 2
             scan.data_start = scan_data_start
             si = ps.segment_info.get(len(ps.scans))
-            if si and (any(a > b for a, b in zip(si, si[1:]))
-                       or len(si) < 2
+            if si and (len(si) < 2
+                       or bool((np.diff(np.asarray(si, np.int64)) < 0)
+                               .any())
                        or scan_data_start + si[-1] > len(arr)):
                 # corrupt segment-info index (non-monotonic or out of
                 # range): ignore it and fall back to marker parsing
@@ -317,14 +320,13 @@ def parse(data: bytes) -> ParsedStream:
             if si:
                 # O(1) segment split from APP13 offsets (reader.c:1167-1232)
                 base = scan_data_start
-                segs = []
-                for a, b in zip(si[:-1], si[1:]):
-                    end = base + b
-                    # strip the trailing RST marker from each but last segment
-                    segs.append((base + a, end - 2 if b != si[-1] else end))
-                segs[-1] = (base + si[-2], base + si[-1])
-                scan.segments = segs
-                end_pos = base + si[-1]
+                off = np.asarray(si, np.int64)
+                starts_ = base + off[:-1]
+                # strip the trailing RST marker from each but last segment
+                ends_ = base + off[1:] - 2
+                ends_[-1] = base + off[-1]
+                scan.segments = np.stack([starts_, ends_], axis=1)
+                end_pos = base + int(off[-1])
             else:
                 scan.segments, end_pos = _read_segment_body(
                     arr, scan_data_start, None)

@@ -18,7 +18,8 @@ def pack_segments_matrix(data: np.ndarray,
     """Build the decoder input matrix.
 
     data:   (N,) uint8 full codestream
-    ranges: [(start, end)) byte ranges of entropy segments (stuffed)
+    ranges: (nseg, 2) int64 [start, end) byte ranges of entropy segments
+            (stuffed); a list of pairs is also accepted
     max_words: row width in 32-bit words (unstuffed payload must fit)
 
     Returns (words, nbits): (nseg, max_words+1) uint32 big-endian-packed
@@ -30,9 +31,10 @@ def pack_segments_matrix(data: np.ndarray,
     if nat is not None:
         return nat
 
-    nseg = len(ranges)
-    starts = np.asarray([r[0] for r in ranges], dtype=np.int64)
-    ends = np.asarray([r[1] for r in ranges], dtype=np.int64)
+    r = np.asarray(ranges, np.int64).reshape(-1, 2)
+    nseg = len(r)
+    starts = r[:, 0]
+    ends = r[:, 1]
     lens = ends - starts
 
     # stuffed-zero mask over the whole buffer (a stuffed 0x00 follows 0xFF;

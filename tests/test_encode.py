@@ -160,3 +160,33 @@ def test_stuffing_no_unescaped_ff(rng):
             i += 1
         pos = i
     assert scans == 3  # non-interleaved RGB -> one scan per component
+
+
+def test_encode_pipelined_bitexact(rng):
+    """Double-buffered encode_pipelined must yield byte-identical streams
+    to sequential encode(), including when a later frame overflows the
+    capacities converged on the first (sparse -> dense content)."""
+    p = Parameters(quality=90, restart_interval=4)
+    frames = [
+        smooth_image(rng, 64, 80, 3),                       # converges caps
+        smooth_image(rng, 64, 80, 3),
+        rng.integers(0, 256, size=(64, 80, 3)).astype(np.uint8),  # dense
+        smooth_image(rng, 64, 80, 3),
+    ]
+    ref_enc = Encoder()
+    want = [ref_enc.encode(f, p) for f in frames]
+    enc = Encoder()
+    got = list(enc.encode_pipelined(frames, p))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        assert g == w, f"frame {i} differs"
+
+
+def test_encode_pipelined_rst0(rng):
+    """restart_interval=0 falls back to sequential host-entropy encodes."""
+    p = Parameters(quality=85, restart_interval=0)
+    frames = [smooth_image(rng, 48, 48, 3) for _ in range(2)]
+    enc = Encoder()
+    got = list(enc.encode_pipelined(frames, p))
+    ref = [Encoder().encode(f, p) for f in frames]
+    assert got == ref
