@@ -413,7 +413,7 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
                          W_out: int, W_stuff: int, z_cap: int, consts,
                          compact_after=(), dct_bias=None,
                          dct_nmat: int = 0, stop_after=None,
-                         Rall: int = 0):
+                         Rall: int = 0, luma_const=None):
     def _early_out(val, out_ref, ob_ref, needs_ref):
         # profiling stub: consume `val` with a real reduction so nothing
         # upstream is dead-code-eliminated, then return
@@ -534,32 +534,46 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
     run16 = jnp.where(is_code, run & 15, jnp.where(is_zrl, 15, 0))
     size16 = jnp.where(is_code, size, 0)
 
-    lum = luma_ref[0:1, :] != 0                # (1, R) per-lane class
+    # per-lane table class; the mega path calls the kernel once per
+    # component, so luma_const statically picks one constant set and every
+    # chain step drops its class mux (~1/3 of the chain's vector ops)
+    lum = (bool(luma_const) if luma_const is not None
+           else luma_ref[0:1, :] != 0)
 
-    def chain(idx, tl, tc, n):
+    def csel(cl, cc):
+        if isinstance(lum, bool):
+            return jnp.int32(cl if lum else cc)
+        return jnp.where(lum, jnp.int32(cl), jnp.int32(cc))
+
+    def chain(idx, tl, tc, n, lo: int = 0):
+        # steps below lo are either impossible values of idx or map to
+        # entry 0 (the zeros init) — statically skipped
         e = jnp.zeros_like(idx)
-        for s in range(n):
-            cand = jnp.where(lum, jnp.int32(tl[s]), jnp.int32(tc[s]))
-            e = jnp.where(idx == s, cand, e)
+        for s in range(lo, n):
+            e = jnp.where(idx == s, csel(tl[s], tc[s]), e)
         return e
 
     (t0L, rtL, alL, eobL, zrlL, dcL), (t0C, rtC, alC, eobC, zrlC, dcC) = \
         consts
-    # affine AC entry (see tables.affine_ac_runtime / ops.tokens)
-    t0e = chain(size16, t0L, t0C, 16)
-    rte = chain(run16, rtL, rtC, 16)
+    # affine AC entry (see tables.affine_ac_runtime / ops.tokens).
+    # Chain bounds: AC size category <= 10 (8-bit baseline, |coef| <=
+    # 1023); run-0 entries come from t0e, so rte skips s=0; el = r_len[run]
+    # + size >= 2 wherever it is consumed (run >= 1, size >= 1).
+    t0e = chain(size16, t0L, t0C, 11, lo=1)
+    rte = chain(run16, rtL, rtC, 16, lo=1)
     rl = (rte >> 20) & 0x1F
     bB = rte & 0xFFFFF
     el = rl + size16
-    a = chain(jnp.clip(el, 0, 15), alL, alC, 16)
+    a = chain(jnp.clip(el, 0, 15), alL, alC, 16, lo=2)
     code_a = jnp.where(el >= 16, bB + size16, a + run16)
     len_a = jnp.minimum(el, 16)
     entry = jnp.where(run16 == 0, t0e, (len_a << 16) | code_a)
-    entry = jnp.where(
-        is_zrl, jnp.where(lum, jnp.int32(zrlL), jnp.int32(zrlC)), entry)
-    entry = jnp.where(
-        is_eob, jnp.where(lum, jnp.int32(eobL), jnp.int32(eobC)), entry)
-    dce = chain(jnp.minimum(size, 11), dcL, dcC, 12)
+    entry = jnp.where(is_zrl, csel(zrlL, zrlC), entry)
+    entry = jnp.where(is_eob, csel(eobL, eobC), entry)
+    # DC entries live only at zz == 0: run the 12-step chain on the
+    # extracted (NB, R) subgrid (1/64th the vector work) and broadcast
+    size_dc = extract(jnp.minimum(size, 11).astype(jnp.float32), 0)
+    dce = jnp.repeat(chain(size_dc, dcL, dcC, 12), 64, axis=0)
     entry = jnp.where(is_dc, dce, entry)
 
     clen = entry >> 16
@@ -568,10 +582,8 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
     lens = jnp.where(is_dc | is_code | is_zrl | is_eob, clen + size, 0)
 
     # static per-block valid mask (B, R), broadcast over 64 coef slots
-    jb = sub >> 6
-    vmask = jnp.zeros((C, R), jnp.int32)
-    for j in range(B):
-        vmask = jnp.where(jb == j, valid_ref[j:j + 1, :], vmask)
+    # (element repeat = sublane broadcast, vs the old B-step select chain)
+    vmask = jnp.repeat(valid_ref[:, :], 64, axis=0)
     if Rall:
         # ragged lane edge: the grid covers ceil(Rall/R) tiles, so the
         # last tile's lanes past Rall read unspecified values — zero
@@ -604,7 +616,8 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
 
 def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
                         R_tile: int = 128, interpret: bool = False,
-                        compact_after=(), dct=None, stop_after=None):
+                        compact_after=(), dct=None, stop_after=None,
+                        luma_const=None):
     """(coefs_t (C, Rp) i16 — or u8 sample patches when dct is given,
     valid_t (B, Rp) i32, luma_t (1, Rp) i32, rst (1, Rp) i32) ->
     (out_t (W_out, Rp) u32, out_bytes (1, Rp) i32, needs (D+2,) i32).
@@ -620,7 +633,8 @@ def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
     kernel = functools.partial(
         _entropy_kernel_body, C=C, B=B, D=D, W_out=W_out, W_stuff=W_out,
         z_cap=z_cap, consts=consts, compact_after=tuple(compact_after),
-        dct_bias=dct_bias, dct_nmat=len(mats), stop_after=stop_after)
+        dct_bias=dct_bias, dct_nmat=len(mats), stop_after=stop_after,
+        luma_const=luma_const)
 
     C_in = C // 4 if dct is not None else C    # packed u32 when fused DCT
 
@@ -717,9 +731,12 @@ def _dct_consts(dct_key, C: int):
 @functools.lru_cache(maxsize=64)
 def _cached_entropy_kernel_u8(C, W_out, z_cap, B, consts, R_tile,
                               interpret, compact_after, dct_key):
+    # dct_key[1] is the component's table class: the kernel call is
+    # single-component, so specialize the chains on it statically
     return make_entropy_kernel(C, W_out, z_cap, B, consts, R_tile,
                                interpret, compact_after,
-                               dct=_dct_consts(dct_key, C))
+                               dct=_dct_consts(dct_key, C),
+                               luma_const=bool(dct_key[1]))
 
 
 def entropy_fused_u8(xbd: jnp.ndarray, valid_t, luma_t, rst_marker,

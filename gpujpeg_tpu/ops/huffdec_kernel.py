@@ -59,12 +59,30 @@ def _mux(lum, a: int, b: int):
     return jnp.where(lum, jnp.int32(a), jnp.int32(b))
 
 
+def _rlen_increments(rlen):
+    """Monotone r_len[1..15] as (base, [(k, delta), ...]) for the
+    arithmetic rl(run) = base + sum(delta_k * [run >= k])."""
+    base = int(rlen[1])
+    incs = []
+    for k in range(2, 16):
+        d = int(rlen[k]) - int(rlen[k - 1])
+        if d:
+            incs.append((k, d))
+    return base, tuple(incs)
+
+
 def affine_ac_decode(peek16, lum, consts_l, consts_c):
     """(clen, sym) for one AC token from a left-aligned 16-bit peek.
 
     peek16/lum: (..., L) int32 / bool; consts_* from
     tables.affine_ac_decode_runtime.  clen == 0 marks an invalid code.
     Pure jnp — runs identically under XLA and inside Pallas kernels.
+
+    Vector-op diet (this is the shared per-token core of decode phases
+    A and C): the per-length (rank offset, zone) pair and the l == 16
+    per-run (run, smin, base) triple are packed into ONE constant per
+    chain step, and the monotone r_len lookup is computed arithmetically
+    from its increments instead of a 16-step select chain.
     """
     monoL, roffL, zoneL, rlenL, b16L, smin16L, eL, zL, zrL = consts_l
     monoC, roffC, zoneC, rlenC, b16C, smin16C, eC, zC, zrC = consts_c
@@ -75,16 +93,29 @@ def affine_ac_decode(peek16, lum, consts_l, consts_c):
     invalid = peek16 > _mux(lum, monoL[16], monoC[16])
 
     code = peek16 >> (16 - clen)
-    rank = jnp.zeros_like(peek16)
-    zone = jnp.zeros_like(peek16)
+
+    # packed per-length constant: zone' (14 b: pre(2) slo(4) nr0(4)
+    # rlo(4)) << 17 | (roff + 2^16) (17 b).  roff = -mincode[l] is in
+    # (-2^16, 0]; pre <= 2 (EOB + ZRL at most).
+    def pack_l(zone, roff, l):
+        z = int(zone[l])
+        pre_, slo_ = z & 15, (z >> 4) & 15
+        nr0_, rlo_ = (z >> 8) & 15, z >> 12
+        assert pre_ <= 3
+        z14 = pre_ | (slo_ << 2) | (nr0_ << 6) | (rlo_ << 10)
+        return (z14 << 17) | (int(roff[l]) + 0x10000)
+
+    pz = jnp.zeros_like(peek16)
     for l in range(1, 17):
-        hit = clen == l
-        rank = jnp.where(hit, code + _mux(lum, roffL[l], roffC[l]), rank)
-        zone = jnp.where(hit, _mux(lum, zoneL[l], zoneC[l]), zone)
-    pre = zone & 15
-    slo = (zone >> 4) & 15
-    nr0 = (zone >> 8) & 15
-    rlo = zone >> 12
+        pz = jnp.where(clen == l,
+                       _mux(lum, pack_l(zoneL, roffL, l),
+                            pack_l(zoneC, roffC, l)), pz)
+    rank = code + (pz & 0x1FFFF) - 0x10000
+    z14 = pz >> 17
+    pre = z14 & 3
+    slo = (z14 >> 2) & 15
+    nr0 = (z14 >> 6) & 15
+    rlo = z14 >> 10
 
     is_eob = (clen == _mux(lum, eL, eC)) & (rank == 0)
     is_zrl = (clen == _mux(lum, zL, zC)) & (rank == _mux(lum, zrL, zrC))
@@ -92,24 +123,40 @@ def affine_ac_decode(peek16, lum, consts_l, consts_c):
     sym_r0 = slo + rank - pre
     base = pre + nr0
 
-    # general zone (l < 16): runs contiguous from rlo, size = l - r_len[run]
+    # general zone (l < 16): runs contiguous from rlo, size = l -
+    # r_len[run]; r_len[1:] is monotone (asserted at table build), so the
+    # lookup is a sum over its increments (garbage for out-of-zone run_g,
+    # which only invalid codes produce — masked by `invalid`)
     run_g = rlo + rank - base
-    rl_g = jnp.zeros_like(peek16)
-    for r in range(16):
-        rl_g = jnp.where(run_g == r, _mux(lum, rlenL[r], rlenC[r]), rl_g)
+    baseL, incsL = _rlen_increments(rlenL)
+    baseC, incsC = _rlen_increments(rlenC)
+    if incsL == incsC and baseL == baseC:
+        rl_g = jnp.full_like(peek16, baseL)
+        for k, d in incsL:
+            rl_g = rl_g + jnp.where(run_g >= k, d, 0)
+    else:
+        rlL = jnp.full_like(peek16, baseL)
+        for k, d in incsL:
+            rlL = rlL + jnp.where(run_g >= k, d, 0)
+        rlC = jnp.full_like(peek16, baseC)
+        for k, d in incsC:
+            rlC = rlC + jnp.where(run_g >= k, d, 0)
+        rl_g = jnp.where(lum, rlL, rlC) if not isinstance(lum, bool) \
+            else (rlL if lum else rlC)
     sym_g = (run_g << 4) | (clen - rl_g)
 
-    # l == 16 zone: rank -> (run, size) via cumulative per-run bases
+    # l == 16 zone: rank -> (run, size) via cumulative per-run bases;
+    # (run << 20) | (smin << 16) | base packed into one select per step
     rank16 = rank - base
-    run16 = jnp.zeros_like(peek16)
-    bsel = jnp.zeros_like(peek16)
-    smsel = jnp.zeros_like(peek16)
+    psel = jnp.zeros_like(peek16)
     for r in range(1, 16):
         br = _mux(lum, b16L[r], b16C[r])
-        hit = rank16 >= br
-        run16 = jnp.where(hit, r, run16)
-        bsel = jnp.where(hit, br, bsel)
-        smsel = jnp.where(hit, _mux(lum, smin16L[r], smin16C[r]), smsel)
+        pk = _mux(lum, (r << 20) | (int(smin16L[r]) << 16) | int(b16L[r]),
+                  (r << 20) | (int(smin16C[r]) << 16) | int(b16C[r]))
+        psel = jnp.where(rank16 >= br, pk, psel)
+    run16 = psel >> 20
+    smsel = (psel >> 16) & 15
+    bsel = psel & 0xFFFF
     sym16 = (run16 << 4) | (smsel + rank16 - bsel)
 
     sym = jnp.where(clen >= 16, sym16, sym_g)
