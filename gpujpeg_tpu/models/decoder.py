@@ -331,16 +331,39 @@ class _StreamPlan:
             self.block_fn_cache[0] = fn
         return fn
 
-    def kernel_block_fn(self, K: int, interpret: bool):
+    def kernel_block_fn(self, K: int, interpret: bool, class_const=None):
         """Pallas phase C for K-word block buffers, or None if not
         applicable (foreign tables / oversized buffers)."""
         if self.kernel_consts is None or K > 16:
             return None
         ac_l, ac_c, dc_l, dc_c = self.kernel_consts
         return huffdec_kernel.cached_block_kernel(
-            K, ac_l, ac_c, dc_l, dc_c, 1024, interpret)
+            K, ac_l, ac_c, dc_l, dc_c, 1024, interpret, class_const)
 
-    def kernel_scan_fn(self, W: int, nseg: int, interpret: bool):
+    def comp_class_ranges(self):
+        """Per-component (seg_lo, seg_hi, (dc_is_luma, ac_is_luma)) when
+        every component's segments use one table class (always true for
+        non-interleaved scans); None for interleaved/pattern streams.
+        Enables class-specialized per-component kernel calls."""
+        if self.luma_patterns is not None:
+            return None
+        out = []
+        base = 0
+        for c in self.geo.components:
+            S = c.segment_count
+            dcl = self.dc_luma_row[base:base + S]
+            acl = self.ac_luma_row[base:base + S]
+            if len(dcl) == 0 or not ((dcl == dcl[0]).all()
+                                     and (acl == acl[0]).all()):
+                return None
+            out.append((base, base + S, (bool(dcl[0]), bool(acl[0]))))
+            base += S
+        if base != self.geo.segment_count:
+            return None
+        return out
+
+    def kernel_scan_fn(self, W: int, nseg: int, interpret: bool,
+                       class_const=None):
         """Pallas phase A for W-word segment rows, or None if not
         applicable (foreign tables / oversized segments or block counts:
         the loop state carries a bps-sized tuple of (8, C_tile) planes,
@@ -360,7 +383,8 @@ class _StreamPlan:
         # boundary state is a bps-tuple of (8, C_tile) planes) stay at 128.
         c_tile = 512 if (nseg >= 2048 and self.bps <= 16) else 128
         return huffdec_kernel.cached_scan_kernel(
-            W, self.bps, ac_l, ac_c, dc_l, dc_c, c_tile, interpret, pats)
+            W, self.bps, ac_l, ac_c, dc_l, dc_c, c_tile, interpret, pats,
+            class_const)
 
 
 def _plan_kernel_consts(ps, dc_ids, ac_ids):
@@ -641,16 +665,32 @@ class Decoder:
         blocks_per_seg = jnp.asarray(
             plan.blk_valid.reshape(nseg, bps).sum(axis=1).astype(np.int32))
 
-        # phase A: block boundaries
+        # phase A: block boundaries (class-specialized per-component
+        # calls when every component uses one table class — the per-lane
+        # luma/chroma muxes in the token core become immediates)
         kmode = deckernel_mode()
+        ranges_c = plan.comp_class_ranges() if kmode != "off" else None
         skfn = (plan.kernel_scan_fn(int(words.shape[1]), nseg,
                                     kmode == "interpret")
-                if kmode != "off" else None)
-        if skfn is not None:
-            bstart, errA = skfn(
-                words, nbits_d, blocks_per_seg,
-                jnp.asarray(plan.dc_luma_row.astype(np.int32)),
-                jnp.asarray(plan.ac_luma_row.astype(np.int32)))
+                if kmode != "off" and ranges_c is None else None)
+        dc_li = jnp.asarray(plan.dc_luma_row.astype(np.int32))
+        ac_li = jnp.asarray(plan.ac_luma_row.astype(np.int32))
+        if ranges_c is not None and plan.kernel_scan_fn(
+                int(words.shape[1]), nseg, kmode == "interpret") is not None:
+            parts, errs = [], []
+            for lo, hi, cls in ranges_c:
+                fn_c = plan.kernel_scan_fn(int(words.shape[1]), hi - lo,
+                                           kmode == "interpret", cls)
+                bs, e = fn_c(words[lo:hi], nbits_d[lo:hi],
+                             blocks_per_seg[lo:hi], dc_li[lo:hi],
+                             ac_li[lo:hi])
+                parts.append(bs)
+                errs.append(e)
+            bstart = jnp.concatenate(parts)
+            errA = jnp.concatenate(errs)
+        elif skfn is not None:
+            bstart, errA = skfn(words, nbits_d, blocks_per_seg,
+                                dc_li, ac_li)
         else:
             bstart, errA = plan.scan_fn(words, nbits_d, blocks_per_seg,
                                         jnp.asarray(plan.dc_luma_row),
@@ -685,11 +725,27 @@ class Decoder:
         ]).astype(np.float32)
 
         if kfn is not None:
-            coefs_t, errC = kfn(
-                bufs.T, bit_len[None, :],
-                jnp.asarray(plan.blk_dc_luma.astype(np.int32))[None, :],
-                jnp.asarray(plan.blk_ac_luma.astype(np.int32))[None, :],
-                jnp.asarray(plan.blk_valid.astype(np.int32))[None, :])
+            bdc_i = jnp.asarray(plan.blk_dc_luma.astype(np.int32))[None, :]
+            bac_i = jnp.asarray(plan.blk_ac_luma.astype(np.int32))[None, :]
+            bva_i = jnp.asarray(plan.blk_valid.astype(np.int32))[None, :]
+            bufs_t = bufs.T
+            blen_r = bit_len[None, :]
+            if ranges_c is not None:
+                cts, errs = [], []
+                for lo, hi, cls in ranges_c:
+                    fn_c = plan.kernel_block_fn(int(bufs.shape[1]),
+                                                kmode == "interpret", cls)
+                    ct, e = fn_c(bufs_t[:, lo * bps:hi * bps],
+                                 blen_r[:, lo * bps:hi * bps],
+                                 bdc_i[:, lo * bps:hi * bps],
+                                 bac_i[:, lo * bps:hi * bps],
+                                 bva_i[:, lo * bps:hi * bps])
+                    cts.append(ct)
+                    errs.append(e)
+                coefs_t = jnp.concatenate(cts, axis=1)
+                errC = jnp.concatenate(errs)
+            else:
+                coefs_t, errC = kfn(bufs_t, blen_r, bdc_i, bac_i, bva_i)
             if not geo.interleaved:
                 # stay transposed all the way through IDCT + relayout
                 coefs_t = _dc_fixup_t(coefs_t, plan.comp_pattern,
@@ -780,22 +836,51 @@ class Decoder:
         skfn = (plan.kernel_scan_fn(int(words_np.shape[1]), nseg,
                                     kmode == "interpret")
                 if kmode != "off" else None)
+        ranges_c = (plan.comp_class_ranges()
+                    if kmode != "off" and skfn is not None
+                    and kfn is not None else None)
         dc_li = jnp.asarray(plan.dc_luma_row.astype(np.int32))
         ac_li = jnp.asarray(plan.ac_luma_row.astype(np.int32))
 
         idct_fn_t = (_make_idct_post_fn_t(geo) if kfn is not None
                      and not geo.interleaved else None)
+        W = int(words_np.shape[1])
 
         def fn(words, nbits_d):
-            if skfn is not None:
+            if ranges_c is not None:
+                parts, eparts = [], []
+                for lo, hi, cls in ranges_c:
+                    fn_c = plan.kernel_scan_fn(W, hi - lo,
+                                               kmode == "interpret", cls)
+                    bs, e = fn_c(words[lo:hi], nbits_d[lo:hi],
+                                 bps_d[lo:hi], dc_li[lo:hi], ac_li[lo:hi])
+                    parts.append(bs)
+                    eparts.append(e)
+                bstart, errA = jnp.concatenate(parts), eparts
+            elif skfn is not None:
                 bstart, errA = skfn(words, nbits_d, bps_d, dc_li, ac_li)
             else:
                 bstart, errA = scan_fn(words, nbits_d, bps_d, dc_l, ac_l)
             bufs = split_fn(words, bstart).reshape(nseg * bps, -1)
             bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(nseg * bps)
             if kfn is not None:
-                coefs_t, errC = kfn(bufs.T, bit_len[None, :],
-                                    bdc_i, bac_i, bva_i)
+                if ranges_c is not None:
+                    bufs_t = bufs.T
+                    blen_r = bit_len[None, :]
+                    cts = []
+                    for lo, hi, cls in ranges_c:
+                        fn_c = plan.kernel_block_fn(
+                            K, kmode == "interpret", cls)
+                        ct, _e = fn_c(bufs_t[:, lo * bps:hi * bps],
+                                      blen_r[:, lo * bps:hi * bps],
+                                      bdc_i[:, lo * bps:hi * bps],
+                                      bac_i[:, lo * bps:hi * bps],
+                                      bva_i[:, lo * bps:hi * bps])
+                        cts.append(ct)
+                    coefs_t = jnp.concatenate(cts, axis=1)
+                else:
+                    coefs_t, errC = kfn(bufs.T, bit_len[None, :],
+                                        bdc_i, bac_i, bva_i)
                 if idct_fn_t is not None:
                     coefs_t = _dc_fixup_t(coefs_t, comp_pattern,
                                           nseg, bps)

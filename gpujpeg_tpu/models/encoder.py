@@ -659,13 +659,10 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
       rows:      (nseg, K) uint32 stuffed per-segment streams (RST markers
                  appended to non-scan-final segments)
       row_bytes: (nseg,) int32 bytes used per row
-      meta:      int32 vector [pack needs..., stuff needs..., scan_start...,
-                 scan_end..., total_bytes] — one small fetch per frame
-                 covers overflow detection and host assembly offsets
+      meta:      int32 vector [pack needs..., stuff needs..., total_bytes]
+                 — one small fetch per frame covers overflow detection;
+                 host assembly derives per-scan offsets from row_bytes
     """
-    scan_first = geo.scan_seg_bounds[:-1].astype(np.int32)
-    scan_last = (geo.scan_seg_bounds[1:] - 1).astype(np.int32)
-
     mega = isinstance(caps, MegaCaps)
     fused = isinstance(caps, FusedCaps)
     pairs = bool(fused and caps.l0 == 1)
@@ -704,11 +701,8 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
                 needs_l.append(nd)
             out_bytes = jnp.concatenate(ob_l)
             needs = functools.reduce(jnp.maximum, needs_l)
-            cs = jnp.cumsum(out_bytes)
-            scan_start = (cs - out_bytes)[jnp.asarray(scan_first)]
-            scan_end = cs[jnp.asarray(scan_last)]
             meta = jnp.concatenate([
-                needs, scan_start, scan_end, cs[-1:],
+                needs, jnp.sum(out_bytes)[None],
             ]).astype(jnp.int32)
             return {"rows": tuple(rows_l), "row_bytes": out_bytes,
                     "meta": meta}
@@ -730,11 +724,8 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
             rows, out_bytes, max_z = bitmerge.stuff_rows_roll(
                 padded, seg_bytes, geo.rst_marker, z_cap=caps.z_cap)
             needs = jnp.concatenate([need1, max_z[None]])
-        cs = jnp.cumsum(out_bytes)
-        scan_start = (cs - out_bytes)[jnp.asarray(scan_first)]
-        scan_end = cs[jnp.asarray(scan_last)]
         meta = jnp.concatenate([
-            needs, scan_start, scan_end, cs[-1:],
+            needs, jnp.sum(out_bytes)[None],
         ]).astype(jnp.int32)
         return {"rows": rows, "row_bytes": out_bytes, "meta": meta}
 

@@ -53,9 +53,12 @@ MAX_AC_STEPS = 66
 
 
 def _mux(lum, a: int, b: int):
-    """Per-lane luma/chroma constant select."""
+    """Per-lane luma/chroma constant select; a static immediate when the
+    caller's table class is uniform (lum passed as a python bool)."""
     if a == b:
         return jnp.int32(a)
+    if isinstance(lum, bool):
+        return jnp.int32(a if lum else b)
     return jnp.where(lum, jnp.int32(a), jnp.int32(b))
 
 
@@ -200,11 +203,15 @@ def dc_decode_runtime(bits, values):
 
 def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
                        coef_ref, err_ref, *, K: int, ac_l, ac_c,
-                       dc_mono_l, dc_mono_c, dc_roff_l, dc_roff_c):
+                       dc_mono_l, dc_mono_c, dc_roff_l, dc_roff_c,
+                       class_const=None):
     C = bufs_ref.shape[1]
     blen = blen_ref[:, :]                       # (8, C)
-    ldc = ldc_ref[:, :] != 0
-    lac = lac_ref[:, :] != 0
+    if class_const is not None:
+        ldc, lac = bool(class_const[0]), bool(class_const[1])
+    else:
+        ldc = ldc_ref[:, :] != 0
+        lac = lac_ref[:, :] != 0
     valid = valid_ref[:, :] != 0
     iota64 = jax.lax.broadcasted_iota(jnp.int32, (64, C), 0)
 
@@ -230,20 +237,27 @@ def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
         half = jnp.where(size > 0, 1 << jnp.maximum(size - 1, 0), 1)
         return jnp.where((size > 0) & (vu < half), vu - (1 << size) + 1, vu)
 
+    iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, C), 0)
+
     def write_onehot(coefs, coef_idx, val, write):
-        """coefs: tuple of 8 (64, C) arrays; writes row group g from the
-        g-th sublane of coef_idx/val/write.  Lanes not writing get idx
-        -1, which never matches iota — this folds the write mask into
-        the compare and deletes the per-group `&`.  (Packed-i16
-        accumulators were tried and rejected: v5e Mosaic supports
-        neither i16 iota/cmp nor i1(8,128)-mask selects of i16.)"""
-        idx32 = jnp.where(write, coef_idx, -1)
+        """coefs: tuple of 8 (32, C) uint32 PACKED accumulators — two
+        16-bit coefficient rows per word (row 2q = low half).  Each
+        coefficient slot receives at most one token (coef_idx strictly
+        increases within a block), so an OR-insert is exact — and the
+        packing halves both the per-step accumulator VMEM traffic (the
+        kernel's real bound) and the one-hot compare rows.  Lanes not
+        writing get idx -1, which never matches iota, folding the write
+        mask into the compare.  (True i16 accumulators remain off the
+        table: v5e Mosaic has no i16 iota/cmp.)"""
+        idxh = jnp.where(write, coef_idx >> 1, -1)
+        valp = ((val.astype(jnp.uint32) & jnp.uint32(0xFFFF))
+                << ((coef_idx & 1) << 4).astype(jnp.uint32))
         out = []
         for g in range(8):
-            idx_g = jnp.broadcast_to(idx32[g:g + 1, :], (64, C))
-            val_g = jnp.broadcast_to(val[g:g + 1, :], (64, C))
+            idx_g = jnp.broadcast_to(idxh[g:g + 1, :], (32, C))
+            val_g = jnp.broadcast_to(valp[g:g + 1, :], (32, C))
             out.append(coefs[g]
-                       + jnp.where(iota64 == idx_g, val_g, 0))
+                       | jnp.where(iota32 == idx_g, val_g, jnp.uint32(0)))
         return tuple(out)
 
     # ---- DC token (every lane's first token), unrolled ----
@@ -256,7 +270,7 @@ def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
     bad = valid & ((clen == 0) | (consumed > blen) | (sym > 15))
     ok = valid & ~bad
     val = value_bits(peek, clen, size)
-    coefs = tuple(jnp.zeros((64, C), jnp.int32) for _ in range(8))
+    coefs = tuple(jnp.zeros((32, C), jnp.uint32) for _ in range(8))
     coefs = write_onehot(coefs, jnp.zeros((8, C), jnp.int32), val,
                          ok & (size > 0))
     cursor = jnp.where(ok, consumed, 0)
@@ -304,25 +318,34 @@ def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
     # lanes that ran out of steps without finishing are corrupt
     erri = jnp.where(valid & (donei == 0), 1, erri)
     for g in range(8):
-        coef_ref[64 * g:64 * g + 64, :] = coefs[g].astype(jnp.int16)
+        # unpack the two 16-bit rows per word and interleave (sublane
+        # repeat + parity select — all cheap, once per tile)
+        wi = pltpu.bitcast(coefs[g], jnp.int32)
+        lo = jnp.repeat((wi << 16) >> 16, 2, axis=0)
+        hi = jnp.repeat(wi >> 16, 2, axis=0)
+        inter = jnp.where((iota64 & 1) == 0, lo, hi)
+        coef_ref[64 * g:64 * g + 64, :] = inter.astype(jnp.int16)
     err_ref[:, :] = jnp.where(valid, erri, 0)
 
 
 def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
-                      C_tile: int = 128, interpret: bool = False):
+                      C_tile: int = 128, interpret: bool = False,
+                      class_const=None):
     """(bufs_t (K, L) u32, blen (1, L) i32, dc_luma/ac_luma/valid (1, L)
     i32) -> (coefs_t (64, L) int16 DIFFERENTIAL-DC, err (1, L) i32).
 
     ac_l/ac_c: tables.affine_ac_decode_runtime constants;
     dc_l/dc_c: dc_decode_runtime constants.  Each grid tile decodes
-    8*C_tile block lanes as (8, C_tile) full vregs.
+    8*C_tile block lanes as (8, C_tile) full vregs.  class_const: see
+    make_scan_kernel.
     """
     dc_mono_l, dc_roff_l = dc_l
     dc_mono_c, dc_roff_c = dc_c
     kernel = functools.partial(
         _block_kernel_body, K=K, ac_l=ac_l, ac_c=ac_c,
         dc_mono_l=dc_mono_l, dc_mono_c=dc_mono_c,
-        dc_roff_l=dc_roff_l, dc_roff_c=dc_roff_c)
+        dc_roff_l=dc_roff_l, dc_roff_c=dc_roff_c,
+        class_const=class_const)
 
     def fn(bufs_t, blen, dc_luma, ac_luma, valid):
         L = bufs_t.shape[1]
@@ -372,8 +395,9 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
 
 @functools.lru_cache(maxsize=32)
 def cached_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile=128,
-                        interpret=False):
-    return make_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile, interpret)
+                        interpret=False, class_const=None):
+    return make_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile, interpret,
+                             class_const)
 
 
 # --------------------------------------------------------------------------
@@ -392,12 +416,17 @@ def _scan_kernel_body(words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
                       bstart_ref, err_ref, *, W: int, bps: int,
                       max_steps: int, ac_l, ac_c,
                       dc_mono_l, dc_mono_c, dc_roff_l, dc_roff_c,
-                      luma_patterns=None):
+                      luma_patterns=None, class_const=None):
     C = nbits_ref.shape[1]
     nbits = nbits_ref[:, :]
     nblk = nblk_ref[:, :]
-    ldc_row = ldc_ref[:, :] != 0
-    lac_row = lac_ref[:, :] != 0
+    if class_const is not None:
+        # uniform table class for the whole call (per-component decode):
+        # every _mux in the token core becomes a static immediate
+        ldc_row, lac_row = bool(class_const[0]), bool(class_const[1])
+    else:
+        ldc_row = ldc_ref[:, :] != 0
+        lac_row = lac_ref[:, :] != 0
 
     def flags(blk):
         """Table-class flags for the CURRENT block: fixed per lane
@@ -501,12 +530,15 @@ def _scan_kernel_body(words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
 
 def make_scan_kernel(W: int, bps: int, ac_l, ac_c, dc_l, dc_c,
                      C_tile: int = 128, interpret: bool = False,
-                     luma_patterns=None):
+                     luma_patterns=None, class_const=None):
     """(words (nseg, W) u32, nbits/nblocks/dc_luma/ac_luma (nseg,)) ->
     (bstart (nseg, bps+1) i32, err (nseg,) bool) — kernel phase A.
 
     luma_patterns: None or (dc_pat, ac_pat, bpm) bool tuples for
     interleaved scans (table class switches per block-within-MCU slot).
+    class_const: None or (dc_is_luma, ac_is_luma) bools when every lane
+    of the call uses one table class (per-component non-interleaved
+    decode) — the per-lane class muxes compile to immediates.
     """
     dc_mono_l, dc_roff_l = dc_l
     dc_mono_c, dc_roff_c = dc_c
@@ -515,7 +547,7 @@ def make_scan_kernel(W: int, bps: int, ac_l, ac_c, dc_l, dc_c,
         _scan_kernel_body, W=W, bps=bps, max_steps=max_steps,
         ac_l=ac_l, ac_c=ac_c, dc_mono_l=dc_mono_l, dc_mono_c=dc_mono_c,
         dc_roff_l=dc_roff_l, dc_roff_c=dc_roff_c,
-        luma_patterns=luma_patterns)
+        luma_patterns=luma_patterns, class_const=class_const)
 
     def fn(words, nbits, nblocks, dc_luma, ac_luma):
         nseg = words.shape[0]
@@ -564,6 +596,7 @@ def make_scan_kernel(W: int, bps: int, ac_l, ac_c, dc_l, dc_c,
 
 @functools.lru_cache(maxsize=32)
 def cached_scan_kernel(W, bps, ac_l, ac_c, dc_l, dc_c, C_tile=128,
-                       interpret=False, luma_patterns=None):
+                       interpret=False, luma_patterns=None,
+                       class_const=None):
     return make_scan_kernel(W, bps, ac_l, ac_c, dc_l, dc_c, C_tile,
-                            interpret, luma_patterns)
+                            interpret, luma_patterns, class_const)

@@ -380,10 +380,12 @@ def _dpost_kernel_body(yc_hbm, cb_hbm, cr_hbm, qy_ref, qcb_ref,
                        qcr_ref, my_ref, mc_ref, out_ref,
                        ysc, cbsc, crsc, pt_ref, sy, sb, sr, *,
                        dx: int, dy: int, NBW: int, NBC: int, RG: int,
-                       src_cs, dst_cs, identity: bool):
+                       src_cs, dst_cs, identity: bool,
+                       highest: bool = True):
     # Mosaic lowers only DEFAULT/HIGHEST dot precisions; HIGHEST is the
     # f32-faithful 6-pass emulation (matches the XLA reference path)
-    prec = jax.lax.Precision.HIGHEST
+    prec = (jax.lax.Precision.HIGHEST if highest
+            else jax.lax.Precision.DEFAULT)
     nv = dx * dy
     i = pl.program_id(0)
 
@@ -454,12 +456,12 @@ def _dpost_kernel_body(yc_hbm, cb_hbm, cr_hbm, qy_ref, qcb_ref,
 
 @functools.lru_cache(maxsize=32)
 def _cached_dpost_kernel(dx, dy, NBW, RG, nbh_steps, src_cs, dst_cs,
-                         interpret):
+                         interpret, highest=True):
     nv = dx * dy
     NBC = NBW // dx
     kernel = functools.partial(
         _dpost_kernel_body, dx=dx, dy=dy, NBW=NBW, NBC=NBC, RG=RG,
-        src_cs=src_cs, dst_cs=dst_cs,
+        src_cs=src_cs, dst_cs=dst_cs, highest=highest,
         identity=(src_cs == dst_cs or src_cs == ColorSpace.NONE
                   or dst_cs == ColorSpace.NONE))
     rows_per = 8 * dy * RG
@@ -591,8 +593,28 @@ def decode_post_fused(coefs_t, qtabs, geo, pi: ImageParameters,
     NBC = NBW // dx
     # Mosaic HBM DMA slices need 128-multiple lane extents: group RG
     # chroma block-rows per grid step and END-pad each plane's lanes (a
-    # contiguous pad — the per-block-row strided pad cost 5.7 ms at 8K)
+    # contiguous pad — the per-block-row strided pad cost 5.7 ms at 8K).
+    # Scale RG up to ~8 rows while the VMEM tiles (in coefs + out pixels,
+    # double-buffered) stay under ~10 MB: fewer grid steps amortize the
+    # per-step DMA/loop overhead (measured 6.8 -> 5.9 ms at 8K).
     RG = 128 // int(np.gcd(NBC, 128))
+    import os
+
+    rg_target = int(os.environ.get("GPUJPEG_TPU_DPOST_RG", "16"))
+    while RG * 2 <= rg_target and RG * 2 <= nbh_c:
+        RGn = RG * 2
+        # scoped-VMEM model calibrated on hardware: the unrolled per-row
+        # loop's temporaries cost ~2200 B per luma block column per row
+        # group (measured 16.75 MB at RG=8, NBW=960, 4:4:4), on top of
+        # the in/out tiles; Mosaic's scoped limit is 16 MB
+        vmem = (RGn * dy * NBW * 2200            # per-rr loop temporaries
+                + 64 * RGn * dy * NBW * 2        # ysc i16
+                + 2 * 64 * RGn * NBC * 2         # cb + cr i16
+                + 2 * 8 * dy * RGn * NBW * 32    # out tile, double-buffered
+                + 8 * NBW * 8 * 4)               # pt scratch
+        if vmem > 13e6:
+            break
+        RG = RGn
     steps = -(-nbh_c // RG)
 
     def padded(plane, per_step):
@@ -610,7 +632,9 @@ def decode_post_fused(coefs_t, qtabs, geo, pi: ImageParameters,
     my, mc = _dpost_matrices(dx, dy)
     fn = _cached_dpost_kernel(dx, dy, NBW, RG, steps,
                               geo.param.color_space_internal,
-                              pi.color_space, interpret)
+                              pi.color_space, interpret,
+                              os.environ.get("GPUJPEG_TPU_DPOST_PREC",
+                                             "highest") == "highest")
     rgbx = fn(yc, cb, cr, qy, qcb, qcr, jnp.asarray(my),
               jnp.asarray(mc))
     out4 = rgbx.reshape(rgbx.shape[0], rgbx.shape[1] // 4, 4)
