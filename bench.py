@@ -223,13 +223,28 @@ def main():
         except Exception as ex:
             log(f"[bench] {kind} {size} q{q} FAILED: {ex!r}")
 
-    if left() > 400 and ("hd", 75) in enc_sessions:
+    for size, need in (("hd", 400), ("4k", 420), ("16k", 700)):
+        if left() < need or (size, 75) not in enc_sessions:
+            continue
         try:
-            e, g, r, m = enc_sessions[("hd", 75)]
-            stream_hd = e.assemble(g, r, m)
-            bench_decode("decode_hd_q75_device", stream_hd, matrix)
+            e, g, r, m = enc_sessions[(size, 75)]
+            stream = e.assemble(g, r, m)
+            bench_decode(f"decode_{size}_q75_device", stream, matrix)
+            save_matrix(matrix)
         except Exception as ex:
-            log(f"[bench] decode hd FAILED: {ex!r}")
+            log(f"[bench] decode {size} FAILED: {ex!r}")
+
+    # decode quality sweep at 8K (reference README.md:156-161)
+    for q in (10, 50, 90, 100):
+        if left() < 500 or ("8k", q) not in enc_sessions:
+            continue
+        try:
+            e, g, r, m = enc_sessions[("8k", q)]
+            stream = e.assemble(g, r, m)
+            bench_decode(f"decode_8k_q{q}_device", stream, matrix)
+            save_matrix(matrix)
+        except Exception as ex:
+            log(f"[bench] decode 8k q{q} FAILED: {ex!r}")
 
     save_matrix(matrix)
     log("[bench] matrix: " + json.dumps(matrix))

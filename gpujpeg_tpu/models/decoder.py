@@ -788,6 +788,30 @@ class Decoder:
         (fn, words, nbits) with the example stream's device inputs.
         Used for steady-state serving and honest device-side decode
         benchmarking (every phase in a single program, no host syncs)."""
+        fn, words_np, nbits, _geo, _mw = self._stream_pipeline_parts(data)
+        return jax.jit(fn), jnp.asarray(words_np), jnp.asarray(nbits)
+
+    def pack_stream(self, data: bytes, geo: Geometry, max_words: int):
+        """Host prep of one stream against a FIXED geometry/row width
+        (for batched steady-state decode): returns (words, nbits) numpy
+        arrays shaped like the pipeline's example stream."""
+        ps = reader.parse(data)
+        param = reader.parsed_to_parameters(ps)
+        out_pi = resolve_output(ps, self._output_request,
+                                self.alignment_bytes)
+        g = get_geometry(param, out_pi.with_(width_padding=0))
+        if g != geo:
+            raise ValueError("stream geometry differs from the pipeline's")
+        ranges = self._segment_ranges(ps, geo)
+        need = int((ranges[:, 1] - ranges[:, 0]).max())
+        if (need + 3) // 4 > max_words:
+            raise ValueError(f"segment needs {(need + 3) // 4} words > "
+                             f"pipeline row width {max_words}")
+        return segprep.pack_segments_matrix(ps.data, ranges, max_words)
+
+    def _stream_pipeline_parts(self, data: bytes):
+        """(fn, words, nbits, geo, max_words) — the unjitted single-frame
+        pipeline plus its example inputs (see compile_stream_pipeline)."""
         # converge plan + split caps WITHOUT fetching the image: a full
         # 8K host readback through a slow link costs minutes and the
         # capacity convergence only needs the (tiny) needs vector
@@ -891,7 +915,7 @@ class Decoder:
             coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), comp_pattern)
             return idct_fn(coefs, qt)
 
-        return jax.jit(fn), jnp.asarray(words_np), jnp.asarray(nbits)
+        return fn, words_np, nbits, geo, int(words_np.shape[1]) - 1
 
     @staticmethod
     def _segment_ranges(ps, geo) -> np.ndarray:

@@ -444,14 +444,15 @@ def _dpost_kernel_body(yc_hbm, cb_hbm, cr_hbm, qy_ref, qcb_ref,
             # fold blocks -> raster: q = c*8 + r sample order lets the
             # transposed pixel words scatter into PT (8*NBW, 8) with eight
             # SUBLANE-STRIDED stores (the relayout class Mosaic supports
-            # and XLA lacks); the final transpose runs in the u8 domain so
-            # the output IS the (rows, W*4) byte image — no XLA narrow
+            # and XLA lacks); the final transpose runs in the u32 domain
+            # (4x fewer elements than the old u8-domain transpose) and the
+            # caller bitcasts the (rows, W) u32 image to bytes — a
+            # layout no-op on the contiguous minor dim
             xt = px[:, :].T                            # (NBW, 64)
             for cc in range(8):
                 pt_ref[cc::8, :] = xt[:, 8 * cc:8 * cc + 8]
-            ptb = pltpu.bitcast(pt_ref[:, :], jnp.uint8)  # (32*NBW, 8)
             ro = 8 * (rr * dy + rp)
-            out_ref[ro:ro + 8, :] = ptb.T                 # (8, 32*NBW)
+            out_ref[ro:ro + 8, :] = pt_ref[:, :].T     # (8, 8*NBW) u32
 
 
 @functools.lru_cache(maxsize=32)
@@ -465,7 +466,7 @@ def _cached_dpost_kernel(dx, dy, NBW, RG, nbh_steps, src_cs, dst_cs,
         identity=(src_cs == dst_cs or src_cs == ColorSpace.NONE
                   or dst_cs == ColorSpace.NONE))
     rows_per = 8 * dy * RG
-    Wb = NBW * 32                      # output row bytes (RGBX)
+    Wb = NBW * 8                       # output row RGBX words (u32)
 
     def fn(yc, cb, cr, qy, qcb, qcr, my, mc):
         const = lambda i: (0, 0)
@@ -486,7 +487,7 @@ def _cached_dpost_kernel(dx, dy, NBW, RG, nbh_steps, src_cs, dst_cs,
             out_specs=pl.BlockSpec((rows_per, Wb), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nbh_steps * rows_per, Wb),
-                                           jnp.uint8),
+                                           jnp.uint32),
             scratch_shapes=[
                 pltpu.VMEM((64, RG * dy * NBW), jnp.int16),
                 pltpu.VMEM((64, RG * NBC), jnp.int16),
@@ -637,7 +638,7 @@ def decode_post_fused(coefs_t, qtabs, geo, pi: ImageParameters,
                                              "highest") == "highest")
     rgbx = fn(yc, cb, cr, qy, qcb, qcr, jnp.asarray(my),
               jnp.asarray(mc))
-    out4 = rgbx.reshape(rgbx.shape[0], rgbx.shape[1] // 4, 4)
+    out4 = jax.lax.bitcast_convert_type(rgbx, jnp.uint8)  # (rows, W, 4)
     out4 = out4[:pi.height, :pi.width]
     if pi.pixel_format == PixelFormat.P4444_U8_P0123:
         return out4

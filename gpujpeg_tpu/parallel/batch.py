@@ -214,4 +214,56 @@ def bitmerge_worst(geo_l: Geometry):
     return bm.worst_caps(enc_mod.token_slots(geo_l), 27)
 
 
+class BatchDecoder:
+    """Decode batches of same-geometry streams across the mesh 'data'
+    axis — the decode-side counterpart of BatchEncoder (new capability
+    vs the single-GPU reference; its multi-stream story is host threads,
+    test/misc/mt_encode.c).
+
+    Tables, split capacities and the output format converge on the
+    example stream (the compile_stream_pipeline steady-state contract);
+    each shard runs the full fused decode pipeline on its frames.  Use a
+    mesh with seg=1 — decode has no segment axis (every frame's segments
+    already run lane-parallel within its device)."""
+
+    def __init__(self, mesh: Mesh, example_stream: bytes,
+                 batch_size: int):
+        from ..models.decoder import Decoder
+
+        self.mesh = mesh
+        self.dec = Decoder()
+        fn, _w, _n, geo, max_words = \
+            self.dec._stream_pipeline_parts(example_stream)
+        data = mesh.shape["data"]
+        if batch_size % data:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"the mesh 'data' extent {data}")
+        b_local = batch_size // data
+        self.geo, self.max_words = geo, max_words
+        self.batch_size = batch_size
+
+        def shard_fn(words_b, nbits_b):     # (B_local, nseg, W)
+            outs = [fn(words_b[i], nbits_b[i]) for i in range(b_local)]
+            return jnp.stack(outs)
+
+        self.fn = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=P("data"), check_vma=False))
+
+    def decode_batch(self, streams) -> np.ndarray:
+        """streams: list of JPEG byte strings (len == batch_size, same
+        geometry as the example) -> (B, ...) decoded images."""
+        if len(streams) != self.batch_size:
+            raise ValueError(f"expected {self.batch_size} streams, got "
+                             f"{len(streams)}")
+        ws, nb = [], []
+        for s in streams:
+            w, n = self.dec.pack_stream(s, self.geo, self.max_words)
+            ws.append(w)
+            nb.append(n)
+        out = self.fn(jnp.asarray(np.stack(ws)), jnp.asarray(np.stack(nb)))
+        return np.asarray(out)
+
+
 

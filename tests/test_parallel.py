@@ -96,3 +96,24 @@ def test_stripe_alignment():
     assert pbatch.stripe_alignment(geo) == 8
     assert pbatch.shardable(geo, 2)
     assert pbatch.shardable(geo, 8)
+
+
+def test_batch_decode_frames(rng):
+    """BatchDecoder: same-geometry streams sharded over 'data' decode
+    identically to single-stream decode."""
+    from gpujpeg_tpu import Decoder, Encoder
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = pmesh.make_mesh(8, data=8, seg=1)
+    p = Parameters(quality=85, restart_interval=4)
+    enc = Encoder()
+    frames = [smooth_image(rng, 64, 80, 3) for _ in range(8)]
+    streams = [enc.encode(f, p) for f in frames]
+    bd = pbatch.BatchDecoder(mesh, streams[0], batch_size=8)
+    out = bd.decode_batch(streams)
+    assert out.shape[0] == 8
+    dec = Decoder()
+    for i, s in enumerate(streams):
+        single = dec.decode(s)
+        assert np.array_equal(out[i], single), f"frame {i} differs"
