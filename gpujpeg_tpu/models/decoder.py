@@ -679,9 +679,14 @@ class Decoder:
                 int(words.shape[1]), nseg, kmode == "interpret") is not None:
             parts, errs = [], []
             for lo, hi, cls in ranges_c:
-                fn_c = plan.kernel_scan_fn(int(words.shape[1]), hi - lo,
+                # per-component word width: the refill select chain costs
+                # O(W) per token step, and chroma segments are shorter
+                mb = int((ranges[lo:hi, 1] - ranges[lo:hi, 0]).max())
+                wc = min(int(words.shape[1]),
+                         _bucket(max(1, (mb + 3) // 4), lo=4) + 1)
+                fn_c = plan.kernel_scan_fn(wc, hi - lo,
                                            kmode == "interpret", cls)
-                bs, e = fn_c(words[lo:hi], nbits_d[lo:hi],
+                bs, e = fn_c(words[lo:hi, :wc], nbits_d[lo:hi],
                              blocks_per_seg[lo:hi], dc_li[lo:hi],
                              ac_li[lo:hi])
                 parts.append(bs)
@@ -870,13 +875,20 @@ class Decoder:
                      and not geo.interleaved else None)
         W = int(words_np.shape[1])
 
+        wcs = None
+        if ranges_c is not None:
+            wcs = [min(W, _bucket(max(1, (int((ranges[lo:hi, 1]
+                                              - ranges[lo:hi, 0]).max())
+                                         + 3) // 4), lo=4) + 1)
+                   for lo, hi, _ in ranges_c]
+
         def fn(words, nbits_d):
             if ranges_c is not None:
                 parts, eparts = [], []
-                for lo, hi, cls in ranges_c:
-                    fn_c = plan.kernel_scan_fn(W, hi - lo,
+                for (lo, hi, cls), wc in zip(ranges_c, wcs):
+                    fn_c = plan.kernel_scan_fn(wc, hi - lo,
                                                kmode == "interpret", cls)
-                    bs, e = fn_c(words[lo:hi], nbits_d[lo:hi],
+                    bs, e = fn_c(words[lo:hi, :wc], nbits_d[lo:hi],
                                  bps_d[lo:hi], dc_li[lo:hi], ac_li[lo:hi])
                     parts.append(bs)
                     eparts.append(e)

@@ -284,8 +284,7 @@ def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
         it, flag = s[0], s[1]
         return (flag != 0) & (it < MAX_AC_STEPS)
 
-    def body(s):
-        it, _flag, coefs, cursor, pos, erri, donei = s
+    def step(coefs, cursor, pos, erri, donei):
         active = (donei == 0) & (erri == 0)
         peek = window32(cursor)
         peek16 = (peek >> 16).astype(jnp.int32)
@@ -308,8 +307,19 @@ def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
         pos = jnp.where(okk, new_pos, pos)
         donei = jnp.where(okk & (new_pos >= 64), 1, donei)
         erri = jnp.where(bad, 1, erri)
+        return coefs, cursor, pos, erri, donei
+
+    def body(s):
+        # two decode steps per flag check: the cross-lane flag reduce +
+        # scalar cond form a serial stall between iterations; batching
+        # halves those stalls at the cost of <= 1 no-op extra step
+        it, _flag, coefs, cursor, pos, erri, donei = s
+        coefs, cursor, pos, erri, donei = \
+            step(coefs, cursor, pos, erri, donei)
+        coefs, cursor, pos, erri, donei = \
+            step(coefs, cursor, pos, erri, donei)
         flag = jnp.sum((donei == 0) & (erri == 0))
-        return it + 1, flag, coefs, cursor, pos, erri, donei
+        return it + 2, flag, coefs, cursor, pos, erri, donei
 
     state = (jnp.int32(0), jnp.int32(1), coefs, cursor, pos0,
              err.astype(jnp.int32), done0.astype(jnp.int32))
@@ -455,7 +465,7 @@ def _scan_kernel_body(words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
         it, flag = s[0], s[1]
         return (flag != 0) & (it < max_steps)
 
-    def body(s):
+    def step(s):
         (it, _flag, hi, lo, navail, wi, blk, pos, erri, bst) = s
         active = (blk < nblk) & (erri == 0)
         # per-lane refill: lanes below the watermark pull their next word
@@ -509,9 +519,17 @@ def _scan_kernel_body(words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
         blk = jnp.where(done, blk + 1, blk)
         pos = jnp.where(ok, jnp.where(done, 0, new_pos), pos)
         erri = jnp.where(bad, 1, erri)
-        flag = jnp.sum(((blk < nblk) & (erri == 0)).astype(jnp.int32))
-        return (it + 1, flag, hi, lo, navail, wi, blk, pos, erri,
+        return (it + 1, jnp.int32(1), hi, lo, navail, wi, blk, pos, erri,
                 tuple(bst2))
+
+    def body(s):
+        # two token steps per flag check (the cross-lane reduce + scalar
+        # cond stall between iterations; a finished tile runs at most one
+        # extra no-op step)
+        s = step(step(s))
+        (it, _flag, hi, lo, navail, wi, blk, pos, erri, bst) = s
+        flag = jnp.sum(((blk < nblk) & (erri == 0)).astype(jnp.int32))
+        return (it, flag, hi, lo, navail, wi, blk, pos, erri, bst)
 
     z = jnp.zeros((8, C), jnp.int32)
     zu = jnp.zeros((8, C), jnp.uint32)
