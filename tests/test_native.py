@@ -55,7 +55,7 @@ def test_scan_split_and_unstuff():
     data = np.frombuffer(seg0 + b"\xff\xd0" + seg1 + b"\xff\xd9", np.uint8)
     segs, end, bad = native.scan_split(data, 0, 16)
     assert bad == 0
-    assert segs == [(0, 4), (6, 8)]
+    assert np.array_equal(segs, [(0, 4), (6, 8)])
     assert data[end] == 0xFF and data[end + 1] == 0xD9
 
     words, nbits = native.unstuff_rows(data, segs, row_words=2)

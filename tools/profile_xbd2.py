@@ -126,9 +126,30 @@ def main():
             return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
         return lp
 
+    def mk_chain(n):
+        # xbd feed + entropy kernels from raw, NO meta reduction: the
+        # FULL-minus-stages gap is either here (fusion/dispatch) or in
+        # the meta sum/concat
+        @jax.jit
+        def lp(raw):
+            def body(i, carry):
+                xbds = xbd_impl(raw.at[0, 0, 0].set(carry))
+                tot = jnp.uint8(0)
+                for xbd, (vt, lt, rstm, dk) in zip(xbds, stat):
+                    r, ob, nd = fusedpack.entropy_fused_u8(
+                        xbd, vt, lt, rstm, z_cap=caps.z_cap,
+                        w_out=caps.w_out, consts=consts, dct_key=dk,
+                        compact_after=caps.compact)
+                    tot = (tot + r.reshape(-1)[0].astype(jnp.uint8)) \
+                        .astype(jnp.uint8)
+                return tot
+            return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
+        return lp
+
     jobs = [("pre_packed", mk_pre, (frame,)),
             ("xbd feed", mk_xbd, (frame,)),
             ("entropy_u8", mk_entropy, tuple(xbds0)),
+            ("chain", mk_chain, (frame,)),
             ("FULL", mk_full, (frame,))]
     for name, mk, args in jobs:
         t0 = time.time()
