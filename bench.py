@@ -126,6 +126,10 @@ def bench_decode(name, stream, matrix):
     fn, words, nbits = dec.compile_stream_pipeline(stream)
     import jax.numpy as jnp
 
+    # warm host-parse figure (the first parse pays lazy imports and cold
+    # allocations; steady-state serving sees the warm cost)
+    jax.block_until_ready(dec.decode_to_device(stream))
+
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(words, nbits, n):
         def body(i, carry):
