@@ -36,6 +36,14 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+def _comp_scan_width(W: int, ranges: np.ndarray, lo: int, hi: int) -> int:
+    """Per-component phase-A word width: the scan kernel's refill select
+    chain is O(W) per token step, and chroma segments are shorter than
+    the global bucket."""
+    mb = int((ranges[lo:hi, 1] - ranges[lo:hi, 0]).max())
+    return min(W, _bucket(max(1, (mb + 3) // 4), lo=4) + 1)
+
+
 def default_output(ps: reader.ParsedStream) -> ImageParameters:
     """Default output: interleaved RGB (or U8 for grayscale), like the
     reference CLI default (gpujpeg_decoder.c output selection)."""
@@ -679,11 +687,7 @@ class Decoder:
                 int(words.shape[1]), nseg, kmode == "interpret") is not None:
             parts, errs = [], []
             for lo, hi, cls in ranges_c:
-                # per-component word width: the refill select chain costs
-                # O(W) per token step, and chroma segments are shorter
-                mb = int((ranges[lo:hi, 1] - ranges[lo:hi, 0]).max())
-                wc = min(int(words.shape[1]),
-                         _bucket(max(1, (mb + 3) // 4), lo=4) + 1)
+                wc = _comp_scan_width(int(words.shape[1]), ranges, lo, hi)
                 fn_c = plan.kernel_scan_fn(wc, hi - lo,
                                            kmode == "interpret", cls)
                 bs, e = fn_c(words[lo:hi, :wc], nbits_d[lo:hi],
@@ -793,13 +797,21 @@ class Decoder:
         (fn, words, nbits) with the example stream's device inputs.
         Used for steady-state serving and honest device-side decode
         benchmarking (every phase in a single program, no host syncs)."""
-        fn, words_np, nbits, _geo, _mw = self._stream_pipeline_parts(data)
+        fn, words_np, nbits, _geo, _mw, _cw = \
+            self._stream_pipeline_parts(data)
         return jax.jit(fn), jnp.asarray(words_np), jnp.asarray(nbits)
 
-    def pack_stream(self, data: bytes, geo: Geometry, max_words: int):
+    def pack_stream(self, data: bytes, geo: Geometry, max_words: int,
+                    comp_widths=None):
         """Host prep of one stream against a FIXED geometry/row width
         (for batched steady-state decode): returns (words, nbits) numpy
-        arrays shaped like the pipeline's example stream."""
+        arrays shaped like the pipeline's example stream.
+
+        comp_widths: optional [(seg_lo, seg_hi, words)] from the compiled
+        pipeline — the per-component scan kernels were specialized to the
+        EXAMPLE stream's segment widths, so a same-geometry stream whose
+        component exceeds its width must be rejected (it would be
+        silently truncated)."""
         ps = reader.parse(data)
         param = reader.parsed_to_parameters(ps)
         out_pi = resolve_output(ps, self._output_request,
@@ -812,6 +824,13 @@ class Decoder:
         if (need + 3) // 4 > max_words:
             raise ValueError(f"segment needs {(need + 3) // 4} words > "
                              f"pipeline row width {max_words}")
+        for lo, hi, wc in comp_widths or ():
+            nc = int((ranges[lo:hi, 1] - ranges[lo:hi, 0]).max())
+            if (nc + 3) // 4 > wc - 1:
+                raise ValueError(
+                    f"segments {lo}:{hi} need {(nc + 3) // 4} words > the "
+                    f"pipeline's per-component width {wc - 1}; rebuild the "
+                    "pipeline from a representative stream")
         return segprep.pack_segments_matrix(ps.data, ranges, max_words)
 
     def _stream_pipeline_parts(self, data: bytes):
@@ -876,27 +895,31 @@ class Decoder:
         W = int(words_np.shape[1])
 
         wcs = None
+        comp_widths = None
         if ranges_c is not None:
-            wcs = [min(W, _bucket(max(1, (int((ranges[lo:hi, 1]
-                                              - ranges[lo:hi, 0]).max())
-                                         + 3) // 4), lo=4) + 1)
+            wcs = [_comp_scan_width(W, ranges, lo, hi)
                    for lo, hi, _ in ranges_c]
+            comp_widths = [(lo, hi, wc)
+                           for (lo, hi, _), wc in zip(ranges_c, wcs)]
 
+        # NOTE: this is the steady-state serving pipeline — like
+        # encode_to_device(check=False), per-segment error flags are not
+        # surfaced (decode() is the validating path); kernel err outputs
+        # are intentionally dropped below.
         def fn(words, nbits_d):
             if ranges_c is not None:
-                parts, eparts = [], []
+                parts = []
                 for (lo, hi, cls), wc in zip(ranges_c, wcs):
                     fn_c = plan.kernel_scan_fn(wc, hi - lo,
                                                kmode == "interpret", cls)
-                    bs, e = fn_c(words[lo:hi, :wc], nbits_d[lo:hi],
-                                 bps_d[lo:hi], dc_li[lo:hi], ac_li[lo:hi])
+                    bs, _e = fn_c(words[lo:hi, :wc], nbits_d[lo:hi],
+                                  bps_d[lo:hi], dc_li[lo:hi], ac_li[lo:hi])
                     parts.append(bs)
-                    eparts.append(e)
-                bstart, errA = jnp.concatenate(parts), eparts
+                bstart = jnp.concatenate(parts)
             elif skfn is not None:
-                bstart, errA = skfn(words, nbits_d, bps_d, dc_li, ac_li)
+                bstart, _e = skfn(words, nbits_d, bps_d, dc_li, ac_li)
             else:
-                bstart, errA = scan_fn(words, nbits_d, bps_d, dc_l, ac_l)
+                bstart, _e = scan_fn(words, nbits_d, bps_d, dc_l, ac_l)
             bufs = split_fn(words, bstart).reshape(nseg * bps, -1)
             bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(nseg * bps)
             if kfn is not None:
@@ -915,19 +938,20 @@ class Decoder:
                         cts.append(ct)
                     coefs_t = jnp.concatenate(cts, axis=1)
                 else:
-                    coefs_t, errC = kfn(bufs.T, bit_len[None, :],
-                                        bdc_i, bac_i, bva_i)
+                    coefs_t, _e = kfn(bufs.T, bit_len[None, :],
+                                      bdc_i, bac_i, bva_i)
                 if idct_fn_t is not None:
                     coefs_t = _dc_fixup_t(coefs_t, comp_pattern,
                                           nseg, bps)
                     return idct_fn_t(coefs_t, qt)
                 coefs = coefs_t.T
             else:
-                coefs, errC = block_fn(bufs, bit_len, bdc, bac, bva)
+                coefs, _e = block_fn(bufs, bit_len, bdc, bac, bva)
             coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), comp_pattern)
             return idct_fn(coefs, qt)
 
-        return fn, words_np, nbits, geo, int(words_np.shape[1]) - 1
+        return (fn, words_np, nbits, geo, int(words_np.shape[1]) - 1,
+                comp_widths)
 
     @staticmethod
     def _segment_ranges(ps, geo) -> np.ndarray:

@@ -956,7 +956,7 @@ class Encoder:
             if isinstance(caps, MegaCaps):
                 from ..ops import fusedpack
 
-                if mega_caps_ok(geo, caps, needs):
+                if caps_ok_for(geo, caps, needs):
                     # one-time tightening: the first legal frame's exact
                     # level maxima may admit a more aggressive schedule,
                     # and the initial worst-case-ish w_out is usually
@@ -990,10 +990,7 @@ class Encoder:
                 else:
                     caps = grown_mega_caps(geo, caps, needs)
             elif isinstance(caps, FusedCaps):
-                from ..ops import fusedpack
-
-                if fusedpack.needs_ok(needs, caps.l0, caps.z_cap,
-                                      caps.w_out):
+                if caps_ok_for(geo, caps, needs):
                     return geo, res, meta
                 if int(needs[-2]) > 250:
                     # beyond the SWAR stuffing chain's exact range
@@ -1003,13 +1000,9 @@ class Encoder:
                 else:
                     caps = grown_fused_caps(geo, caps, needs)
             else:
-                need1, need_z = needs[:-1], int(needs[-1])
-                n1 = len(caps.pack)
-                ok1 = all(int(need1[i]) <= caps.pack[i] * 32
-                          for i in range(n1))
-                if ok1 and need_z <= caps.z_cap:
+                if caps_ok_for(geo, caps, needs):
                     return geo, res, meta
-                caps = grown_caps(geo, caps, need1, need_z)
+                caps = grown_caps(geo, caps, needs[:-1], int(needs[-1]))
             self._caps[geo] = caps
         raise RuntimeError("encode capacity did not converge")
 
@@ -1157,24 +1150,28 @@ class Encoder:
                 yield self.encode(f, param, param_image)
             return
 
-        def finish(res, raw):
-            meta = np.asarray(res["meta"])   # blocks until the frame is done
-            caps = self._caps[geo]
-            if not caps_ok_for(geo, caps, meta[:self._get_fn(geo, caps)
-                                               ._n_needs]):
+        def finish(res, raw, caps):
+            # validate against the caps the frame was DISPATCHED with (a
+            # later frame's overflow may have grown self._caps[geo] in
+            # the meantime — checking against the grown caps would pass
+            # a frame whose rows were truncated by the smaller packer)
+            jax.block_until_ready(res["meta"])
+            meta = np.asarray(res["meta"])
+            if not caps_ok_for(geo, caps, meta[:caps.n_needs]):
                 _, res, meta = self.encode_to_device(raw, param, param_image)
             out = self.assemble(geo, res, meta)
             self._frames += 1
             return out
 
         _, res_prev, _ = self.encode_to_device(x0, param, param_image)
-        prev_raw = x0
+        prev = (res_prev, x0, self._caps[geo])
         for f in it:
             x = jnp.asarray(f)
-            res_next = self._get_fn(geo, self._caps[geo])(x)  # async
-            yield finish(res_prev, prev_raw)
-            res_prev, prev_raw = res_next, x
-        yield finish(res_prev, prev_raw)
+            caps = self._caps[geo]
+            res_next = self._get_fn(geo, caps)(x)  # async dispatch
+            yield finish(*prev)
+            prev = (res_next, x, caps)
+        yield finish(*prev)
 
     def get_stats(self) -> DurationStats:
         return self.stats

@@ -232,8 +232,9 @@ class BatchDecoder:
 
         self.mesh = mesh
         self.dec = Decoder()
-        fn, _w, _n, geo, max_words = \
+        fn, _w, _n, geo, max_words, comp_widths = \
             self.dec._stream_pipeline_parts(example_stream)
+        self.comp_widths = comp_widths
         data = mesh.shape["data"]
         if batch_size % data:
             raise ValueError(f"batch_size {batch_size} not divisible by "
@@ -259,7 +260,8 @@ class BatchDecoder:
                              f"{len(streams)}")
         ws, nb = [], []
         for s in streams:
-            w, n = self.dec.pack_stream(s, self.geo, self.max_words)
+            w, n = self.dec.pack_stream(s, self.geo, self.max_words,
+                                        self.comp_widths)
             ws.append(w)
             nb.append(n)
         out = self.fn(jnp.asarray(np.stack(ws)), jnp.asarray(np.stack(nb)))

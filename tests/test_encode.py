@@ -170,7 +170,11 @@ def test_encode_pipelined_bitexact(rng):
     frames = [
         smooth_image(rng, 64, 80, 3),                       # converges caps
         smooth_image(rng, 64, 80, 3),
-        rng.integers(0, 256, size=(64, 80, 3)).astype(np.uint8),  # dense
+        # TWO dense frames in a row: the second is dispatched with the
+        # pre-overflow caps while the first's overflow is discovered —
+        # validation must use dispatch-time caps, not the grown ones
+        rng.integers(0, 256, size=(64, 80, 3)).astype(np.uint8),
+        rng.integers(0, 256, size=(64, 80, 3)).astype(np.uint8),
         smooth_image(rng, 64, 80, 3),
     ]
     ref_enc = Encoder()
