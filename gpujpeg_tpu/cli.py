@@ -87,6 +87,11 @@ def print_info(filename: str, verbose: int) -> int:
     print(f"width: {info.width}")
     print(f"height: {info.height}")
     print(f"component count: {info.comp_count}")
+    if info.sampling:
+        from .types import subsampling_name
+
+        print("subsampling: "
+              f"{subsampling_name(info.comp_count, info.sampling)}")
     print(f"color space: {formats.COLOR_SPACE_DISPLAY.get(info.color_space)}")
     print(f"interleaved: {'yes' if info.interleaved else 'no'}")
     print(f"restart interval: {info.restart_interval}")

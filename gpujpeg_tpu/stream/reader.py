@@ -396,5 +396,5 @@ def get_image_info(data: bytes) -> ImageInfo:
         interleaved=ps.interleaved, restart_interval=ps.restart_interval,
         segment_count=sum(len(s.segments) for s in ps.scans),
         header_type=ps.header_type, quality=quality, comment=ps.comment,
-        orientation=ps.orientation,
+        orientation=ps.orientation, sampling=tuple(ps.sampling),
     )

@@ -146,6 +146,36 @@ class SamplingFactor:
     vertical: int = 1
 
 
+def subsampling_name(comp_count: int, sampling) -> str:
+    """J:a:b[:alpha] name for a sampling-factor set
+    (gpujpeg_subsampling_get_name, src/gpujpeg_common.c:1905-1951;
+    golden-tested against the reference unit test's pairs).
+
+    sampling: sequence of (h, v) pairs or SamplingFactor."""
+    sf = [(s.horizontal, s.vertical) if isinstance(s, SamplingFactor)
+          else tuple(s) for s in sampling][:comp_count]
+    if comp_count == 1:
+        return "4:0:0"
+    if comp_count == 2 and sf[0][1] == sf[1][1]:
+        return f"4:0:0:{4 // sf[0][0] * sf[1][0]}"
+    if (comp_count >= 3 and sf[1][0] == sf[2][0] and sf[1][1] == sf[2][0]
+            and (comp_count == 3
+                 or (comp_count == 4 and sf[0][1] == sf[3][1]))):
+        a = 4 // sf[0][0] * sf[1][0]
+        vert_change = (2 // sf[0][1] * sf[1][1]) == 2
+        b = a if vert_change else 0
+        name = f"4:{a}:{b}"
+        if comp_count == 4:
+            name += f":{4 // sf[0][0] * sf[3][0]}"
+        return name
+    # non-standard named rates (gpujpeg_common.h:251-253)
+    if sf == [(1, 2), (1, 2), (1, 1)]:
+        return "4:4:2"
+    if sf == [(2, 2), (2, 1), (1, 1)]:
+        return "4:2:1"
+    return ":".join(f"{h}-{v}" for h, v in sf)
+
+
 @dataclasses.dataclass(frozen=True)
 class Parameters:
     """Encoding/decoding parameters (gpujpeg_common.h:176-215).
@@ -253,6 +283,8 @@ class ImageInfo:
     quality: Optional[int] = None
     comment: Optional[str] = None
     orientation: Optional[Orientation] = None
+    #: per-component (h, v) sampling factors from SOF0
+    sampling: Tuple = ()
 
 
 def default_parameters() -> Parameters:

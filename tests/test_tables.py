@@ -92,3 +92,27 @@ def test_fdct_idct_roundtrip():
     y = np.round(x @ Mq + bias)
     back = np.clip(np.round(y @ Ni + 128), 0, 255)
     assert np.abs(back - x).max() <= 1
+
+
+def test_subsampling_names_golden():
+    """gpujpeg_subsampling_get_name parity (reference unit test pairs,
+    test/unit/run_tests.c:17-35, + the J:a:b derivation corners)."""
+    from gpujpeg_tpu.types import (PixelFormat, pixel_format_comp_count,
+                                   pixel_format_sampling, subsampling_name)
+
+    pairs = [
+        (PixelFormat.U8, "4:0:0"),
+        (PixelFormat.P420_U8_P0P1P2, "4:2:0"),
+        (PixelFormat.P422_U8_P1020, "4:2:2"),
+        (PixelFormat.P444_U8_P0P1P2, "4:4:4"),
+        (PixelFormat.P4444_U8_P0123, "4:4:4:4"),
+    ]
+    for pf, want in pairs:
+        n = pixel_format_comp_count(pf)
+        got = subsampling_name(n, pixel_format_sampling(pf)[:n])
+        assert got == want, (pf, got, want)
+    assert subsampling_name(3, [(1, 2), (1, 1), (1, 1)]) == "4:4:0"
+    assert subsampling_name(3, [(4, 1), (1, 1), (1, 1)]) == "4:1:1"
+    assert subsampling_name(3, [(1, 2), (1, 2), (1, 1)]) == "4:4:2"
+    assert subsampling_name(3, [(2, 2), (2, 1), (1, 1)]) == "4:2:1"
+    assert subsampling_name(2, [(1, 1), (1, 1)]) == "4:0:0:4"
