@@ -49,7 +49,13 @@ def pow2_ge(n: int) -> int:
 def _r_tile(C: int) -> int:
     """Lane-tile width for the entropy kernels: 256 halves the per-tile
     grid overhead (measured 5.9 -> 4.3 ms on the 8K luma plane) and
-    keeps the (C, R) working set within VMEM for C <= 512."""
+    keeps the (C, R) working set within VMEM for C <= 512.
+    GPUJPEG_TPU_RTILE overrides for experiments."""
+    import os
+
+    v = os.environ.get("GPUJPEG_TPU_RTILE")
+    if v:
+        return int(v)
     return 256 if C <= 512 else 128
 
 
