@@ -183,15 +183,20 @@ def run_encode(args, enc, in_path: str, out_path: str) -> None:
     if args.component_range:
         component_range(arr, pi)
 
+    if args.verbose > 1:
+        enc.perf_stats = True       # per-phase breakdown (reference -v)
     out = None
     for it in range(max(args.iterate, 1)):
         t0 = time.perf_counter()
         out = enc.encode(arr, param, pi)
         dt = (time.perf_counter() - t0) * 1000
         if args.verbose or args.iterate > 1:
-            print(f"encode {in_path}: {dt:.2f} ms", file=sys.stderr)
+            st = enc.get_stats()
             if args.verbose > 1:
-                enc.get_stats().print()
+                st.print()
+            print(f"Encode Image GPU:   {st.duration_in_gpu:10.4f} ms "
+                  "(only in-device processing)", file=sys.stderr)
+            print(f"Encode Image:       {dt:10.4f} ms", file=sys.stderr)
     if args.iterate > 1:
         print(f"encode {in_path}: {enc.aggregate.summary()}",
               file=sys.stderr)
@@ -214,6 +219,8 @@ def run_decode(args, dec, in_path: str, out_path: str) -> None:
         # let the decoder resolve it (gpujpeg_decoder.h:238-240)
         out_pi = out_pi.with_(pixel_format=PixelFormatRequest.STD)
 
+    if args.verbose > 1:
+        dec.perf_stats = True       # per-phase breakdown (reference -v)
     arr = None
     for it in range(max(args.iterate, 1)):
         t0 = time.perf_counter()
@@ -223,9 +230,12 @@ def run_decode(args, dec, in_path: str, out_path: str) -> None:
                                           != ColorSpace.NONE) else None)
         dt = (time.perf_counter() - t0) * 1000
         if args.verbose or args.iterate > 1:
-            print(f"decode {in_path}: {dt:.2f} ms", file=sys.stderr)
             if args.verbose:
                 dec.stats.print()
+            print(f"Decode Image GPU:   "
+                  f"{dec.stats.duration_in_gpu:10.4f} ms "
+                  "(only in-device processing)", file=sys.stderr)
+            print(f"Decode Image:       {dt:10.4f} ms", file=sys.stderr)
     if args.verbose and args.iterate > 1:
         print(dec.stats.summary(), file=sys.stderr)
     # the decoder records the resolved output parameters (pseudo formats

@@ -190,8 +190,26 @@ def _make_idct_post_fn(geo: Geometry):
     return jax.jit(fn)
 
 
+def _idct_post_t_call(geo: Geometry, coefs_t, qt):
+    """Run the transposed IDCT+postprocess jit with graceful dpost-RG
+    degradation: a Mosaic scoped-VMEM compile failure (the RG auto-scaler
+    is an empirical model — see prepost_kernel._dpost_rg) halves the
+    learned RG ceiling and retries instead of erroring."""
+    from ..ops import prepost_kernel as ppk
+
+    while True:
+        try:
+            return _make_idct_post_fn_t(geo, ppk.dpost_generation())(
+                coefs_t, qt)
+        except Exception as e:  # noqa: BLE001 — compile errors only
+            if ppk.is_vmem_failure(e) and \
+                    ppk.dpost_note_vmem_failure(geo, geo.param_image):
+                continue
+            raise
+
+
 @functools.lru_cache(maxsize=16)
-def _make_idct_post_fn_t(geo: Geometry):
+def _make_idct_post_fn_t(geo: Geometry, gen: int = 0):
     """jit: (coefs_t (64, nseg*bps) TRANSPOSED layout, qtabs) -> image.
 
     Companion of _make_idct_post_fn for the Pallas phase-C kernel's
@@ -395,6 +413,28 @@ class _StreamPlan:
             class_const)
 
 
+def _table_signature(ps) -> tuple:
+    """Per-component (quant bytes, DC bits/vals, AC bits/vals) — the
+    full table identity a compiled stream pipeline depends on beyond
+    Geometry (which records layout only; parsed_to_parameters sets
+    quality=0)."""
+    comp_dc: Dict[int, int] = {}
+    comp_ac: Dict[int, int] = {}
+    for scan in ps.scans:
+        for ci, d, a in zip(scan.comp_indices, scan.dc_table,
+                            scan.ac_table):
+            comp_dc[ci], comp_ac[ci] = d, a
+    sig = []
+    for ci in sorted(comp_dc):
+        db, dv = ps.huff_dc[comp_dc[ci]]
+        ab, av = ps.huff_ac[comp_ac[ci]]
+        sig.append((np.asarray(ps.quant_tables[ps.quant_map[ci]])
+                    .tobytes(),
+                    np.asarray(db).tobytes(), np.asarray(dv).tobytes(),
+                    np.asarray(ab).tobytes(), np.asarray(av).tobytes()))
+    return tuple(sig)
+
+
 def _plan_kernel_consts(ps, dc_ids, ac_ids):
     """Decode-runtime constants when the stream's tables are computable:
     AC tables byte-match a trained tuned bucket and DC huffval is the
@@ -413,6 +453,11 @@ def _plan_kernel_consts(ps, dc_ids, ac_ids):
     return (acs[0], acs[1], dcs[0], dcs[1])
 
 
+class CapacityError(ValueError):
+    """A same-format stream exceeds a compiled pipeline's content-derived
+    capacities (segment width) — decodable, just not by this pipeline."""
+
+
 class DecoderStats:
     """Per-phase decode timings — the decoder-side counterpart of the
     encoder's DurationStats (gpujpeg_duration_stats,
@@ -425,6 +470,14 @@ class DecoderStats:
         self.duration_stream = 0.0      # host marker parse + segment split
         self.duration_in_gpu = 0.0      # Huffman decode + IDCT + postprocess
         self.duration_memory_from = 0.0  # device -> host fetch
+        #: per-phase splits, populated only when Decoder.perf_stats is on
+        #: (phase-boundary syncs cost pipeline overlap, like the
+        #: reference's event pairs): Huffman = boundary scan + split +
+        #: block decode; DCT covers the fused dequant+IDCT+postprocess
+        #: kernel (postprocessing is fused into it, reported as 0)
+        self.duration_huffman_coder = 0.0
+        self.duration_dct_quantization = 0.0
+        self.duration_preprocessor = 0.0
         self.frames = 0
         self.total_ms = 0.0
         self.total_ms_wo_first = 0.0
@@ -439,13 +492,21 @@ class DecoderStats:
         import sys
 
         f = file or sys.stderr
-        print(f" -Stream Reader:      {self.duration_stream:9.2f} ms",
+        print(f" -Stream Reader:     {self.duration_stream:10.4f} ms",
               file=f)
-        print(f" -Device pipeline:    {self.duration_in_gpu:9.2f} ms",
+        if self.duration_huffman_coder or self.duration_dct_quantization:
+            print(f" -Huffman Decoder:   "
+                  f"{self.duration_huffman_coder:10.4f} ms", file=f)
+            print(f" -DCT & Quantization:"
+                  f"{self.duration_dct_quantization:10.4f} ms", file=f)
+            print(f" -Postprocessing:    "
+                  f"{self.duration_preprocessor:10.4f} ms (fused into "
+                  "DCT kernel)", file=f)
+        print(f" -Device pipeline:   {self.duration_in_gpu:10.4f} ms",
               file=f)
         if self.duration_memory_from:
-            print(f" -Copy From Device:   "
-                  f"{self.duration_memory_from:9.2f} ms", file=f)
+            print(f" -Copy From Device:  "
+                  f"{self.duration_memory_from:10.4f} ms", file=f)
 
     def summary(self) -> str:
         if not self.frames:
@@ -464,6 +525,8 @@ class Decoder:
     def __init__(self) -> None:
         self._plans: Dict = {}
         self._split_fns: Dict = {}
+        #: opt-in per-phase stats (adds phase-boundary syncs per frame)
+        self.perf_stats = False
         self.flipped = False
         self.channel_remap = None
         self.alignment_bytes = 0
@@ -705,15 +768,19 @@ class Decoder:
                                         jnp.asarray(plan.dc_luma_row),
                                         jnp.asarray(plan.ac_luma_row))
         needs = huffdec2.split_needs(bstart, bps)
-        jax.block_until_ready(needs)
-        needs_np = np.asarray(needs)
         caps = plan.split_caps
-        levels = len(needs_np)
-        if caps is None or any(int(needs_np[i]) > caps[i]
-                               for i in range(levels)):
-            caps = tuple(
-                max(int(needs_np[i]) + 1,
-                    caps[i] if caps else 0) for i in range(levels))
+        # steady state: converged caps are used WITHOUT a mid-frame host
+        # sync — the needs vector is validated at frame end (after all
+        # device work is dispatched, overlapping the check with compute);
+        # an overflow (denser content than any seen) grows the caps and
+        # transparently re-decodes.  needs derive from the scan phase
+        # only, so they are exact even when the split truncated.
+        deferred = caps is not None
+        if not deferred:
+            jax.block_until_ready(needs)
+            needs_np = np.asarray(needs)
+            caps = tuple(int(needs_np[i]) + 1
+                         for i in range(len(needs_np)))
             plan.split_caps = caps
 
         # phase B: split into per-block buffers
@@ -756,14 +823,26 @@ class Decoder:
             else:
                 coefs_t, errC = kfn(bufs_t, blen_r, bdc_i, bac_i, bva_i)
             if not geo.interleaved:
+                t_h = None
+                if self.perf_stats:
+                    jax.block_until_ready(coefs_t)
+                    t_h = time.perf_counter()
+                    self.stats.duration_huffman_coder = \
+                        (t_h - t1) * 1000.0
                 # stay transposed all the way through IDCT + relayout
                 coefs_t = _dc_fixup_t(coefs_t, plan.comp_pattern,
                                       nseg, bps)
-                out = _make_idct_post_fn_t(geo)(coefs_t,
-                                                jnp.asarray(qtabs))
+                out = _idct_post_t_call(geo, coefs_t, jnp.asarray(qtabs))
+                if t_h is not None:
+                    jax.block_until_ready(out)
+                    self.stats.duration_dct_quantization = \
+                        (time.perf_counter() - t_h) * 1000.0
+                    self.stats.duration_preprocessor = 0.0
                 out = self._apply_output_options(out, out_pi)
                 self.stats.duration_in_gpu = \
                     (time.perf_counter() - t1) * 1000.0
+                if deferred and self._split_overflowed(plan, needs, caps):
+                    return self.decode_to_device(data, param_image)
                 err = np.asarray(errA).any() or np.asarray(errC).any()
                 if err:
                     import logging
@@ -777,18 +856,43 @@ class Decoder:
                 jnp.asarray(plan.blk_dc_luma),
                 jnp.asarray(plan.blk_ac_luma),
                 jnp.asarray(plan.blk_valid))
+        t_h = None
+        if self.perf_stats:
+            jax.block_until_ready(coefs)
+            t_h = time.perf_counter()
+            self.stats.duration_huffman_coder = (t_h - t1) * 1000.0
         coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), plan.comp_pattern)
 
         fn = _make_idct_post_fn(geo)
         out = fn(coefs, jnp.asarray(qtabs))
+        if t_h is not None:
+            jax.block_until_ready(out)
+            self.stats.duration_dct_quantization = \
+                (time.perf_counter() - t_h) * 1000.0
+            self.stats.duration_preprocessor = 0.0
         out = self._apply_output_options(out, out_pi)
         self.stats.duration_in_gpu = (time.perf_counter() - t1) * 1000.0
+        if deferred and self._split_overflowed(plan, needs, caps):
+            return self.decode_to_device(data, param_image)
         err = np.asarray(errA).any() or np.asarray(errC).any()
         if err:
             import logging
             logging.getLogger("gpujpeg_tpu").warning(
                 "corrupt segment(s) during Huffman decode")
         return out
+
+    @staticmethod
+    def _split_overflowed(plan, needs, caps) -> bool:
+        """Deferred split-capacity validation: True when the realized
+        needs exceed the caps this frame was split with (the frame's
+        buffers were truncated — grow and re-decode).  Growth is strict
+        and needs are content-exact, so a retry cannot loop."""
+        needs_np = np.asarray(needs)
+        if all(int(needs_np[i]) <= caps[i] for i in range(len(needs_np))):
+            return False
+        plan.split_caps = tuple(max(int(needs_np[i]) + 1, caps[i])
+                                for i in range(len(needs_np)))
+        return True
 
     def compile_stream_pipeline(self, data: bytes):
         """Build ONE jittable device function for streams shaped like
@@ -797,12 +901,71 @@ class Decoder:
         (fn, words, nbits) with the example stream's device inputs.
         Used for steady-state serving and honest device-side decode
         benchmarking (every phase in a single program, no host syncs)."""
-        fn, words_np, nbits, _geo, _mw, _cw = \
-            self._stream_pipeline_parts(data)
-        return jax.jit(fn), jnp.asarray(words_np), jnp.asarray(nbits)
+        fn, words_np, nbits = self._stream_pipeline_parts(data)[:3]
+        img_fn = jax.jit(lambda w, n: fn(w, n)[0])
+        return img_fn, jnp.asarray(words_np), jnp.asarray(nbits)
+
+    def decode_pipelined(self, streams):
+        """Double-buffered steady-state decode: yields one decoded numpy
+        image per input JPEG stream, overlapping the host marker parse +
+        segment split of stream i+1 and the device->host fetch of stream
+        i with the device compute of stream i — the decode mirror of
+        Encoder.encode_pipelined (and of the reference's stream-parallel
+        copy/compute overlap, gpujpeg_decoder.c:234-452).
+
+        The first stream compiles + converges the pipeline; every later
+        stream must share its geometry and tables (pack_stream validates
+        and raises ValueError otherwise).  A stream denser than anything
+        seen overflows the compiled split capacities; the needs vector
+        detects that and the frame transparently re-decodes on the
+        validating path — output pixels always match sequential
+        decode()."""
+        it = iter(streams)
+        first = next(it, None)
+        if first is None:
+            return
+        (fn, words0, nbits0, geo, max_words, comp_widths, table_sig,
+         split_caps) = self._stream_pipeline_parts(first)
+        out_pi = self.last_output
+
+        def _piped(w, n):
+            img, needs = fn(w, n)
+            return self._apply_output_options(img, out_pi), needs
+
+        jfn = jax.jit(_piped)
+
+        def finish(res, stream):
+            out, needs = res
+            img = np.asarray(out)       # fetch blocks; device runs next
+            needs = np.asarray(needs)
+            if split_caps is not None and any(
+                    int(needs[j]) > split_caps[j]
+                    for j in range(len(split_caps))):
+                img = self.decode(stream)
+            return img
+
+        prev = (jfn(jnp.asarray(words0), jnp.asarray(nbits0)), first)
+        for s in it:
+            try:
+                w, n = self.pack_stream(s, geo, max_words, comp_widths,
+                                        table_sig)
+            except CapacityError:
+                # denser than the compiled pipeline admits: decode this
+                # stream on the validating path (bubble, not an error)
+                if prev is not None:
+                    yield finish(*prev)
+                    prev = None
+                yield self.decode(s)
+                continue
+            res = jfn(jnp.asarray(w), jnp.asarray(n))   # async dispatch
+            if prev is not None:
+                yield finish(*prev)
+            prev = (res, s)
+        if prev is not None:
+            yield finish(*prev)
 
     def pack_stream(self, data: bytes, geo: Geometry, max_words: int,
-                    comp_widths=None):
+                    comp_widths=None, table_sig=None):
         """Host prep of one stream against a FIXED geometry/row width
         (for batched steady-state decode): returns (words, nbits) numpy
         arrays shaped like the pipeline's example stream.
@@ -811,7 +974,14 @@ class Decoder:
         pipeline — the per-component scan kernels were specialized to the
         EXAMPLE stream's segment widths, so a same-geometry stream whose
         component exceeds its width must be rejected (it would be
-        silently truncated)."""
+        silently truncated).
+
+        table_sig: optional _table_signature() of the example stream.
+        Geometry cannot distinguish table contents (quality, custom DHT/
+        DQT), but the compiled pipeline bakes the example's quant tables
+        and Huffman constants into the jitted fn — a same-layout stream
+        with different tables would decode to silently corrupt pixels, so
+        it must be rejected here."""
         ps = reader.parse(data)
         param = reader.parsed_to_parameters(ps)
         out_pi = resolve_output(ps, self._output_request,
@@ -819,15 +989,22 @@ class Decoder:
         g = get_geometry(param, out_pi.with_(width_padding=0))
         if g != geo:
             raise ValueError("stream geometry differs from the pipeline's")
+        if table_sig is not None and _table_signature(ps) != table_sig:
+            raise ValueError(
+                "stream quantization/Huffman tables differ from the "
+                "pipeline's example stream; rebuild the pipeline from a "
+                "representative stream (the compiled fn bakes the "
+                "example's tables in)")
         ranges = self._segment_ranges(ps, geo)
         need = int((ranges[:, 1] - ranges[:, 0]).max())
         if (need + 3) // 4 > max_words:
-            raise ValueError(f"segment needs {(need + 3) // 4} words > "
-                             f"pipeline row width {max_words}")
+            raise CapacityError(
+                f"segment needs {(need + 3) // 4} words > "
+                f"pipeline row width {max_words}")
         for lo, hi, wc in comp_widths or ():
             nc = int((ranges[lo:hi, 1] - ranges[lo:hi, 0]).max())
             if (nc + 3) // 4 > wc - 1:
-                raise ValueError(
+                raise CapacityError(
                     f"segments {lo}:{hi} need {(nc + 3) // 4} words > the "
                     f"pipeline's per-component width {wc - 1}; rebuild the "
                     "pipeline from a representative stream")
@@ -890,8 +1067,10 @@ class Decoder:
         dc_li = jnp.asarray(plan.dc_luma_row.astype(np.int32))
         ac_li = jnp.asarray(plan.ac_luma_row.astype(np.int32))
 
-        idct_fn_t = (_make_idct_post_fn_t(geo) if kfn is not None
-                     and not geo.interleaved else None)
+        from ..ops import prepost_kernel as _ppk
+
+        idct_fn_t = (_make_idct_post_fn_t(geo, _ppk.dpost_generation())
+                     if kfn is not None and not geo.interleaved else None)
         W = int(words_np.shape[1])
 
         wcs = None
@@ -905,7 +1084,9 @@ class Decoder:
         # NOTE: this is the steady-state serving pipeline — like
         # encode_to_device(check=False), per-segment error flags are not
         # surfaced (decode() is the validating path); kernel err outputs
-        # are intentionally dropped below.
+        # are intentionally dropped below.  The split-needs vector IS
+        # returned (tiny) so batch/pipelined drivers can detect
+        # capacity overflow on denser-than-example streams.
         def fn(words, nbits_d):
             if ranges_c is not None:
                 parts = []
@@ -920,6 +1101,7 @@ class Decoder:
                 bstart, _e = skfn(words, nbits_d, bps_d, dc_li, ac_li)
             else:
                 bstart, _e = scan_fn(words, nbits_d, bps_d, dc_l, ac_l)
+            needs = huffdec2.split_needs(bstart, bps)
             bufs = split_fn(words, bstart).reshape(nseg * bps, -1)
             bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(nseg * bps)
             if kfn is not None:
@@ -943,15 +1125,15 @@ class Decoder:
                 if idct_fn_t is not None:
                     coefs_t = _dc_fixup_t(coefs_t, comp_pattern,
                                           nseg, bps)
-                    return idct_fn_t(coefs_t, qt)
+                    return idct_fn_t(coefs_t, qt), needs
                 coefs = coefs_t.T
             else:
                 coefs, _e = block_fn(bufs, bit_len, bdc, bac, bva)
             coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), comp_pattern)
-            return idct_fn(coefs, qt)
+            return idct_fn(coefs, qt), needs
 
         return (fn, words_np, nbits, geo, int(words_np.shape[1]) - 1,
-                comp_widths)
+                comp_widths, _table_signature(ps), caps)
 
     @staticmethod
     def _segment_ranges(ps, geo) -> np.ndarray:

@@ -76,18 +76,32 @@ class DurationStats:
     duration_huffman_coder: float = 0.0
     duration_stream: float = 0.0
     duration_in_gpu: float = 0.0
+    #: capacity-convergence re-dispatches of the LAST frame (0 in steady
+    #: state; duration_in_gpu covers only the final successful dispatch,
+    #: so -v output is clean even on a regrow frame)
+    retries: int = 0
 
     def print(self, file=None) -> None:
         import sys
 
         f = file or sys.stderr
-        print(f" -Device pipeline:    {self.duration_in_gpu:9.2f} ms",
+        if self.duration_preprocessor or self.duration_dct_quantization \
+                or self.duration_huffman_coder:
+            print(f" -Preprocessing:     "
+                  f"{self.duration_preprocessor:10.4f} ms", file=f)
+            print(f" -DCT & Quantization:"
+                  f"{self.duration_dct_quantization:10.4f} ms", file=f)
+            print(f" -Huffman Encoder:   "
+                  f"{self.duration_huffman_coder:10.4f} ms", file=f)
+        print(f" -Device pipeline:   {self.duration_in_gpu:10.4f} ms",
               file=f)
-        print(f" -Stream Formatter:   {self.duration_stream:9.2f} ms",
+        print(f" -Stream Formatter:  {self.duration_stream:10.4f} ms",
               file=f)
         if self.duration_memory_from:
-            print(f" -Copy From Device:   "
-                  f"{self.duration_memory_from:9.2f} ms", file=f)
+            print(f" -Copy From Device:  "
+                  f"{self.duration_memory_from:10.4f} ms", file=f)
+        if self.retries:
+            print(f" -Capacity regrows:  {self.retries:10d}", file=f)
 
 
 @dataclasses.dataclass
@@ -504,9 +518,16 @@ def make_rows_xbd_impl(geo: Geometry, pre=None):
         b0 = int(geo.scan_seg_bounds[k])
         vm = (np.arange(S * rstn).reshape(S, rstn)
               < c.mcu_count).T.astype(np.int32)
+        bpr = c.data_width // 8
+        # xq layout eligibility: segments tile block rows exactly AND a
+        # segment row is exactly 128 packed words (rst == 8) — then the
+        # feed is the 16-word-contiguous (S, 128) relayout (2.2x cheaper
+        # than the xbd transpose; the kernel transposes in VMEM)
+        xq = (bpr % rstn == 0 and S * rstn == c.mcu_count
+              and rstn * 16 == 128)
         infos.append(dict(
             valid=vm, luma=(c.table_index == 0),
-            rst=np.asarray(geo.rst_marker[b0:b0 + S]), S=S,
+            rst=np.asarray(geo.rst_marker[b0:b0 + S]), S=S, xq=xq,
             dct_key=(quality, c.table_index == 0, rstn, use_bf16)))
 
     def pack_lanes(p):
@@ -542,11 +563,20 @@ def make_rows_xbd_impl(geo: Geometry, pre=None):
         planes = None if packed is not None \
             else sample.preprocess(raw, geo, geo.param_image)
         out = []
-        for c in geo.components:
+        for c, info in zip(geo.components, infos):
             rstn = c.segment_mcu_count
             S = c.segment_count
             bpr = c.data_width // 8
-            if bpr % rstn == 0 and S * rstn == c.mcu_count:
+            if info["xq"]:
+                # 16-word-contiguous relayout: each (row, segment) run of
+                # 16 packed words moves as one 64 B chunk (the per-2-word
+                # xbd transpose cost 0.68 ms/comp at 8K, this is 0.30)
+                nbh, nsr = c.data_height // 8, bpr // rstn
+                p32 = (packed[c.index] if packed is not None
+                       else pack_lanes(planes[c.index]))
+                x = p32.reshape(nbh, 8, nsr, 16) \
+                    .transpose(0, 2, 1, 3).reshape(nbh * nsr, 128)
+            elif bpr % rstn == 0 and S * rstn == c.mcu_count:
                 nbh, nsr = c.data_height // 8, bpr // rstn
                 p32 = (packed[c.index] if packed is not None
                        else pack_lanes(planes[c.index]))
@@ -695,7 +725,8 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
                     jnp.asarray(luma_t), info["rst"],
                     z_cap=caps.z_cap, w_out=caps.w_out, consts=consts,
                     dct_key=info["dct_key"], interpret=interp,
-                    compact_after=caps.compact)
+                    compact_after=caps.compact,
+                    xq=info.get("xq", False))
                 rows_l.append(r)
                 ob_l.append(ob)
                 needs_l.append(nd)
@@ -730,6 +761,57 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
         return {"rows": rows, "row_bytes": out_bytes, "meta": meta}
 
     fn._n_needs = caps.n_needs
+    return fn
+
+
+def make_phase_fn(geo: Geometry, caps, pre=None, phase: str = "pre"):
+    """Truncated device programs for per-phase perf stats (the TPU
+    analogue of the reference's per-kernel CUDA event pairs,
+    gpujpeg_common.c:2169-2254): phase='pre' runs the preprocessor (+
+    feed relayout on the mega path), 'dct' additionally runs forward
+    DCT+quantization (the megakernel's stop_after='dct' stub).  The
+    encoder times these as separate dispatches when perf_stats is on and
+    reports the deltas as phase durations."""
+    mega = isinstance(caps, MegaCaps)
+    if mega:
+        from ..ops import fusedpack
+
+        interp = fused_mode() == "interpret"
+        xbd_impl, xbd_infos = make_rows_xbd_impl(geo, pre)
+        consts = tables.entropy_kernel_consts(geo.param.quality)
+
+        def fn(raw):
+            xbds = xbd_impl(raw)
+            if phase == "pre":
+                return xbds
+            outs = []
+            for xbd, info in zip(xbds, xbd_infos):
+                luma_t = np.full((1, info["S"]),
+                                 1 if info["luma"] else 0, np.int32)
+                r, ob, nd = fusedpack.entropy_fused_u8(
+                    xbd, jnp.asarray(info["valid"]),
+                    jnp.asarray(luma_t), info["rst"],
+                    z_cap=caps.z_cap, w_out=caps.w_out, consts=consts,
+                    dct_key=info["dct_key"], interpret=interp,
+                    compact_after=caps.compact,
+                    xq=info.get("xq", False), stop_after="dct")
+                outs.append(ob)
+            return outs
+
+        return fn
+
+    quality = geo.param.quality
+    qtabs = [tables.quant_table_zz(True, quality),
+             tables.quant_table_zz(False, quality)]
+
+    def fn(raw):
+        raw2 = apply_pre_transform(raw, pre)
+        planes = sample.preprocess(raw2, geo, geo.param_image)
+        if phase == "pre":
+            return planes
+        return [dct.fdct_quantize(planes[c.index], qtabs[c.table_index])
+                for c in geo.components]
+
     return fn
 
 
@@ -768,6 +850,9 @@ class Encoder:
         self.aggregate = AggregateStats()
         self._frames = 0
         self.segment_info = False
+        #: opt-in per-phase stats (reference: param.perf_stats) — adds
+        #: two truncated-program dispatches per frame, see _measure_phases
+        self.perf_stats = False
         self.flipped = False
         self.channel_remap: Optional[str] = None
         self.header_type_override = None
@@ -944,12 +1029,20 @@ class Encoder:
         if not check:
             return geo, self._get_fn(geo, caps)(x), None
 
+        self.stats.retries = -1
         for _ in range(6):
+            self.stats.retries += 1
             fn = self._get_fn(geo, caps)
+            t_disp = time.perf_counter()
             res = fn(x)
             # NOTE: fetching a result before it is ready takes a pathological
             # slow path on some host links — always block first.
             jax.block_until_ready(res["meta"])
+            # only the final (successful) dispatch counts as the frame's
+            # device time — regrow iterations are recompiles, not steady
+            # state (they are counted in stats.retries instead)
+            self.stats.duration_in_gpu = \
+                (time.perf_counter() - t_disp) * 1000.0
             meta = np.asarray(res["meta"])
             nn = fn._n_needs
             needs = meta[:nn]
@@ -1115,11 +1208,45 @@ class Encoder:
         t1 = time.perf_counter()
         out = self.assemble(geo, res, meta)
         t2 = time.perf_counter()
-        self.stats.duration_in_gpu = (t1 - t0) * 1000.0
+        # duration_in_gpu was recorded by encode_to_device (final
+        # dispatch only — convergence retries excluded)
         self.stats.duration_stream = (t2 - t1) * 1000.0
         self.aggregate.add((t2 - t0) * 1000.0)
         self._frames += 1
+        if self.perf_stats:
+            self._measure_phases(geo, image)
         return out
+
+    def _measure_phases(self, geo: Geometry, image) -> None:
+        """Per-phase breakdown via truncated-program dispatches
+        (make_phase_fn); fills duration_preprocessor /
+        duration_dct_quantization / duration_huffman_coder like the
+        reference's per-kernel event pairs (gpujpeg_common.c:2169-2254).
+        Costs two extra device dispatches per frame — only under the
+        perf_stats flag, mirroring the reference's opt-in."""
+        caps = self._caps.get(geo)
+        if caps is None:
+            return
+        x = jnp.asarray(image)
+        t0 = time.perf_counter()
+        jax.block_until_ready(self._phase_fn(geo, caps, "pre")(x))
+        t1 = time.perf_counter()
+        jax.block_until_ready(self._phase_fn(geo, caps, "dct")(x))
+        t2 = time.perf_counter()
+        tp1 = (t1 - t0) * 1000.0
+        tp2 = (t2 - t1) * 1000.0
+        self.stats.duration_preprocessor = tp1
+        self.stats.duration_dct_quantization = max(tp2 - tp1, 0.0)
+        self.stats.duration_huffman_coder = \
+            max(self.stats.duration_in_gpu - tp2, 0.0)
+
+    def _phase_fn(self, geo: Geometry, caps, phase: str):
+        key = ("phase", phase, geo, caps, self._pre())
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(make_phase_fn(geo, caps, self._pre(), phase))
+            self._fns[key] = fn
+        return fn
 
     def encode_pipelined(self, frames, param: Optional[Parameters] = None,
                          param_image: Optional[ImageParameters] = None):
@@ -1136,7 +1263,11 @@ class Encoder:
         dispatch immediately and validate their needs vector only when
         their result is consumed.  On overflow (unusually dense content)
         the frame is transparently re-encoded with grown capacities —
-        output bytes are always identical to sequential encode()."""
+        output bytes are always identical to sequential encode().
+
+        All frames must share the first frame's shape and dtype (one
+        geometry per pipeline — use separate calls for mixed sizes); a
+        mismatching frame raises ValueError."""
         it = iter(frames)
         first = next(it, None)
         if first is None:
@@ -1167,6 +1298,12 @@ class Encoder:
         prev = (res_prev, x0, self._caps[geo])
         for f in it:
             x = jnp.asarray(f)
+            if x.shape != x0.shape or x.dtype != x0.dtype:
+                raise ValueError(
+                    f"encode_pipelined frames must all match the first "
+                    f"frame's shape/dtype {x0.shape}/{x0.dtype}; got "
+                    f"{x.shape}/{x.dtype} (use separate calls for mixed "
+                    "geometries)")
             caps = self._caps[geo]
             res_next = self._get_fn(geo, caps)(x)  # async dispatch
             yield finish(*prev)

@@ -415,11 +415,26 @@ def make_deep_stuff_kernel(N0: int, D: int, W_out: int, z_cap: int,
 # pass.
 # --------------------------------------------------------------------------
 
+def _bitswap_sub(w, i: int, j: int):
+    """Exchange sublane index bits i > j (a fixed involutive permutation
+    of the sublane dim): 1 iota + 2 rolls + selects, no captured arrays."""
+    d = (1 << i) - (1 << j)
+    n = w.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+    bi = (sub >> i) & 1
+    bj = (sub >> j) & 1
+    up = pltpu.roll(w, d % n, axis=0)        # dest p <- src p-d
+    dn = pltpu.roll(w, (n - d) % n, axis=0)  # dest p <- src p+d
+    return jnp.where((bi == 1) & (bj == 0), up,
+                     jnp.where((bi == 0) & (bj == 1), dn, w))
+
+
 def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
                          W_out: int, W_stuff: int, z_cap: int, consts,
                          compact_after=(), dct_bias=None,
                          dct_nmat: int = 0, stop_after=None,
-                         Rall: int = 0, luma_const=None):
+                         Rall: int = 0, luma_const=None,
+                         xq_in: bool = False):
     def _early_out(val, out_ref, ob_ref, needs_ref):
         # profiling stub: consume `val` with a real reduction so nothing
         # upstream is dead-code-eliminated, then return
@@ -444,7 +459,19 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
         # the MXU tile, see _dct_consts) applied per 128-sublane slice:
         # same math as one dense (C, C) block-diagonal matmul but 8x
         # fewer MXU passes at full tile utilization.
-        w = c_ref[:, :]                        # (C/4, R) u32
+        if xq_in:
+            # xq layout: the (R_tile, 128) block is the XLA-cheap
+            # 16-word-contiguous relayout (sublanes = segments, lanes =
+            # the segment's 128 packed words in (row, block, half)
+            # order).  Transpose in VMEM (~0.04 ms/comp at 8K vs the
+            # 0.68 ms/comp XLA xbd transpose) and swap the (r, b) index
+            # bit fields to recover the xbd (block, row, half) sublane
+            # order the DCT matrices expect.
+            w = c_ref[:, :].T                  # (128, R) u32
+            for bi_, bj_ in ((6, 3), (5, 2), (4, 1)):
+                w = _bitswap_sub(w, bi_, bj_)
+        else:
+            w = c_ref[:, :]                    # (C/4, R) u32
         w4 = jnp.repeat(w, 4, axis=0)          # (C, R), element-repeat
         ksub = jax.lax.broadcasted_iota(jnp.int32, w4.shape, 0) & 3
         xi = ((w4 >> (ksub * 8).astype(jnp.uint32))
@@ -623,12 +650,18 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
 def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
                         R_tile: int = 128, interpret: bool = False,
                         compact_after=(), dct=None, stop_after=None,
-                        luma_const=None):
+                        luma_const=None, xq: bool = False):
     """(coefs_t (C, Rp) i16 — or u8 sample patches when dct is given,
     valid_t (B, Rp) i32, luma_t (1, Rp) i32, rst (1, Rp) i32) ->
     (out_t (W_out, Rp) u32, out_bytes (1, Rp) i32, needs (D+2,) i32).
-    C must be a power of two (pad with valid=0)."""
+    C must be a power of two (pad with valid=0).
+
+    xq=True (requires dct and C == 512): the sample input arrives as
+    (Rall, 128) — the 16-word-contiguous relayout with segments on
+    SUBLANES — and is transposed + sublane-permuted inside the kernel
+    (see _entropy_kernel_body xq_in)."""
     assert C & (C - 1) == 0 and C >= 64
+    assert not xq or (dct is not None and C == 512)
     D = C.bit_length() - 1
     mats = ()
     dct_bias = None
@@ -640,12 +673,12 @@ def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
         _entropy_kernel_body, C=C, B=B, D=D, W_out=W_out, W_stuff=W_out,
         z_cap=z_cap, consts=consts, compact_after=tuple(compact_after),
         dct_bias=dct_bias, dct_nmat=len(mats), stop_after=stop_after,
-        luma_const=luma_const)
+        luma_const=luma_const, xq_in=xq)
 
     C_in = C // 4 if dct is not None else C    # packed u32 when fused DCT
 
     def fn(coefs_t, valid_t, luma_t, rst):
-        Rall = coefs_t.shape[1]
+        Rall = coefs_t.shape[0] if xq else coefs_t.shape[1]
         G = -(-Rall // R_tile)
         Rp = G * R_tile
         # ragged lane edge handled IN-KERNEL (lane >= Rall masked like
@@ -655,12 +688,15 @@ def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
         mat_specs = [pl.BlockSpec(m.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM)
                      for m in mats]
+        in0_spec = (pl.BlockSpec((R_tile, C_in), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM) if xq
+                    else pl.BlockSpec((C_in, R_tile), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
         out_t, ob, needs = pl.pallas_call(
             kern,
             grid=(G,),
             in_specs=[
-                pl.BlockSpec((C_in, R_tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
+                in0_spec,
                 *mat_specs,
                 pl.BlockSpec((B, R_tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -736,18 +772,21 @@ def _dct_consts(dct_key, C: int):
 
 @functools.lru_cache(maxsize=64)
 def _cached_entropy_kernel_u8(C, W_out, z_cap, B, consts, R_tile,
-                              interpret, compact_after, dct_key):
+                              interpret, compact_after, dct_key,
+                              xq=False, stop_after=None):
     # dct_key[1] is the component's table class: the kernel call is
     # single-component, so specialize the chains on it statically
     return make_entropy_kernel(C, W_out, z_cap, B, consts, R_tile,
                                interpret, compact_after,
                                dct=_dct_consts(dct_key, C),
-                               luma_const=bool(dct_key[1]))
+                               luma_const=bool(dct_key[1]), xq=xq,
+                               stop_after=stop_after)
 
 
 def entropy_fused_u8(xbd: jnp.ndarray, valid_t, luma_t, rst_marker,
                      z_cap: int, w_out: int, consts, dct_key,
-                     interpret: bool = False, compact_after=()):
+                     interpret: bool = False, compact_after=(),
+                     xq: bool = False, stop_after=None):
     """entropy_fused variant with the forward DCT fused INTO the kernel.
 
     xbd: (C0/4, R) uint32 PACKED block-diagonal sample patches: sample
@@ -755,19 +794,29 @@ def entropy_fused_u8(xbd: jnp.ndarray, valid_t, luma_t, rst_marker,
     (b*16 + r*2 + c//4, s) — see make_rows_xbd_impl.  dct_key = (quality,
     luma, rst, use_bf16) selects the in-kernel quantizing DCT matrices.
     Everything else matches entropy_fused.
+
+    xq=True: xbd is instead the (R, 128) 16-word-contiguous relayout
+    (segments on sublanes, word order (row, block, half) per segment) —
+    2.2x cheaper to produce in XLA; the kernel transposes + permutes in
+    VMEM.  Requires rst == 8 (128 words per segment row).
     """
-    C4, R = xbd.shape
+    if xq:
+        R, C4 = xbd.shape
+    else:
+        C4, R = xbd.shape
     C0 = C4 * 4
     C = pow2_ge(max(C0, 64))
     B = C // 64
     if C != C0:
+        assert not xq, "xq layout requires 128 words per segment"
         xbd = jnp.pad(xbd, ((0, (C - C0) // 4, ), (0, 0)))
     if B != valid_t.shape[0]:
         valid_t = jnp.pad(valid_t, ((0, B - valid_t.shape[0]), (0, 0)))
     rst = jnp.asarray(rst_marker).astype(jnp.int32).reshape(1, R)
     fn = _cached_entropy_kernel_u8(C, w_out, z_cap, B, consts,
                                    _r_tile(C), interpret,
-                                   tuple(compact_after), dct_key)
+                                   tuple(compact_after), dct_key, xq,
+                                   stop_after)
     out_t, ob, needs = fn(xbd, valid_t, luma_t, rst)
     return out_t.T, ob, needs
 

@@ -566,6 +566,76 @@ def decode_post_supported(geo, pi: ImageParameters) -> bool:
     return True
 
 
+#: per-(dx, dy, NBW, nbh_c) RG ceilings learned from Mosaic VMEM compile
+#: failures (the auto-scaling model below is empirical; an untested
+#: geometry may overshoot the 16 MB scoped-VMEM limit) — see
+#: dpost_note_vmem_failure.
+_DPOST_RG_CAPS: dict = {}
+_DPOST_GEN = 0
+
+
+def dpost_generation() -> int:
+    """Bump counter for jit caches that bake the dpost RG choice in."""
+    return _DPOST_GEN
+
+
+def is_vmem_failure(exc: BaseException) -> bool:
+    s = str(exc).lower()
+    return ("vmem" in s or "scoped" in s or "mosaic" in s
+            or "resource_exhausted" in s or "resource exhausted" in s)
+
+
+def dpost_note_vmem_failure(geo, pi) -> bool:
+    """Record a Mosaic VMEM compile failure for this geometry's dpost
+    kernel: halve its RG ceiling so the next attempt compiles smaller
+    tiles.  Returns False when RG is already at the minimum (the caller
+    should fall back to the XLA tail)."""
+    global _DPOST_GEN
+    if not decode_post_supported(geo, pi):
+        return False
+    cy, ccb = geo.components[0], geo.components[1]
+    dx = geo.max_h // ccb.samp_h
+    NBW = cy.data_width // 8
+    NBC = NBW // dx
+    nbh_c = ccb.data_height // 8
+    rg_min = 128 // int(np.gcd(NBC, 128))
+    key = (dx, geo.max_v // ccb.samp_v, NBW, nbh_c)
+    cur = _DPOST_RG_CAPS.get(key)
+    if cur is None:
+        cur = _dpost_rg(dx, key[1], NBW, NBC, nbh_c, None)
+    if cur <= rg_min:
+        return False
+    _DPOST_RG_CAPS[key] = max(rg_min, cur // 2)
+    _DPOST_GEN += 1
+    return True
+
+
+def _dpost_rg(dx, dy, NBW, NBC, nbh_c, cap) -> int:
+    """RG auto-scaling under the calibrated scoped-VMEM model, clamped
+    by any learned failure ceiling."""
+    import os
+
+    RG = 128 // int(np.gcd(NBC, 128))
+    rg_target = int(os.environ.get("GPUJPEG_TPU_DPOST_RG", "16"))
+    if cap is not None:
+        rg_target = min(rg_target, cap)
+    while RG * 2 <= rg_target and RG * 2 <= nbh_c:
+        RGn = RG * 2
+        # scoped-VMEM model calibrated on hardware: the unrolled per-row
+        # loop's temporaries cost ~2200 B per luma block column per row
+        # group (measured 16.75 MB at RG=8, NBW=960, 4:4:4), on top of
+        # the in/out tiles; Mosaic's scoped limit is 16 MB
+        vmem = (RGn * dy * NBW * 2200            # per-rr loop temporaries
+                + 64 * RGn * dy * NBW * 2        # ysc i16
+                + 2 * 64 * RGn * NBC * 2         # cb + cr i16
+                + 2 * 8 * dy * RGn * NBW * 32    # out tile, double-buffered
+                + 8 * NBW * 8 * 4)               # pt scratch
+        if vmem > 13e6:
+            break
+        RG = RGn
+    return RG
+
+
 def decode_post_fused(coefs_t, qtabs, geo, pi: ImageParameters,
                       interpret: bool = False):
     """coefs_t (64, nseg*bps) int16 (DC already integrated) -> packed
@@ -597,25 +667,14 @@ def decode_post_fused(coefs_t, qtabs, geo, pi: ImageParameters,
     # contiguous pad — the per-block-row strided pad cost 5.7 ms at 8K).
     # Scale RG up to ~8 rows while the VMEM tiles (in coefs + out pixels,
     # double-buffered) stay under ~10 MB: fewer grid steps amortize the
-    # per-step DMA/loop overhead (measured 6.8 -> 5.9 ms at 8K).
-    RG = 128 // int(np.gcd(NBC, 128))
+    # per-step DMA/loop overhead (measured 6.8 -> 5.9 ms at 8K).  A
+    # learned per-config ceiling (set on Mosaic VMEM compile failure —
+    # the model is empirical) degrades RG gracefully on untested
+    # geometries instead of erroring; GPUJPEG_TPU_DPOST_RG overrides.
     import os
 
-    rg_target = int(os.environ.get("GPUJPEG_TPU_DPOST_RG", "16"))
-    while RG * 2 <= rg_target and RG * 2 <= nbh_c:
-        RGn = RG * 2
-        # scoped-VMEM model calibrated on hardware: the unrolled per-row
-        # loop's temporaries cost ~2200 B per luma block column per row
-        # group (measured 16.75 MB at RG=8, NBW=960, 4:4:4), on top of
-        # the in/out tiles; Mosaic's scoped limit is 16 MB
-        vmem = (RGn * dy * NBW * 2200            # per-rr loop temporaries
-                + 64 * RGn * dy * NBW * 2        # ysc i16
-                + 2 * 64 * RGn * NBC * 2         # cb + cr i16
-                + 2 * 8 * dy * RGn * NBW * 32    # out tile, double-buffered
-                + 8 * NBW * 8 * 4)               # pt scratch
-        if vmem > 13e6:
-            break
-        RG = RGn
+    RG = _dpost_rg(dx, dy, NBW, NBC, nbh_c,
+                   _DPOST_RG_CAPS.get((dx, dy, NBW, nbh_c)))
     steps = -(-nbh_c // RG)
 
     def padded(plane, per_step):

@@ -232,9 +232,11 @@ class BatchDecoder:
 
         self.mesh = mesh
         self.dec = Decoder()
-        fn, _w, _n, geo, max_words, comp_widths = \
-            self.dec._stream_pipeline_parts(example_stream)
+        (fn, _w, _n, geo, max_words, comp_widths, table_sig,
+         split_caps) = self.dec._stream_pipeline_parts(example_stream)
         self.comp_widths = comp_widths
+        self.table_sig = table_sig
+        self.split_caps = split_caps
         data = mesh.shape["data"]
         if batch_size % data:
             raise ValueError(f"batch_size {batch_size} not divisible by "
@@ -245,27 +247,42 @@ class BatchDecoder:
 
         def shard_fn(words_b, nbits_b):     # (B_local, nseg, W)
             outs = [fn(words_b[i], nbits_b[i]) for i in range(b_local)]
-            return jnp.stack(outs)
+            imgs = jnp.stack([o[0] for o in outs])
+            needs = jnp.stack([o[1] for o in outs])
+            return imgs, needs
 
         self.fn = jax.jit(shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P("data"), P("data")),
-            out_specs=P("data"), check_vma=False))
+            out_specs=(P("data"), P("data")), check_vma=False))
 
     def decode_batch(self, streams) -> np.ndarray:
         """streams: list of JPEG byte strings (len == batch_size, same
-        geometry as the example) -> (B, ...) decoded images."""
+        geometry/tables as the example) -> (B, ...) decoded images.
+
+        Streams denser than the example overflow the compiled split
+        capacities; the returned needs vectors detect that and the
+        affected frames are re-decoded on the validating path (their
+        caps feed future pipelines via the shared Decoder session)."""
         if len(streams) != self.batch_size:
             raise ValueError(f"expected {self.batch_size} streams, got "
                              f"{len(streams)}")
         ws, nb = [], []
         for s in streams:
             w, n = self.dec.pack_stream(s, self.geo, self.max_words,
-                                        self.comp_widths)
+                                        self.comp_widths, self.table_sig)
             ws.append(w)
             nb.append(n)
-        out = self.fn(jnp.asarray(np.stack(ws)), jnp.asarray(np.stack(nb)))
-        return np.asarray(out)
+        out, needs = self.fn(jnp.asarray(np.stack(ws)),
+                             jnp.asarray(np.stack(nb)))
+        res = np.asarray(out)
+        needs = np.asarray(needs)
+        caps = self.split_caps
+        for i in range(len(streams)):
+            if caps is not None and any(
+                    int(needs[i][j]) > caps[j] for j in range(len(caps))):
+                res[i] = self.dec.decode(streams[i])
+        return res
 
 
 

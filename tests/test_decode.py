@@ -113,3 +113,53 @@ def test_image_info_probe(rng):
     assert info.quality == 77
     assert info.segment_count > 0
     assert "GPUJPEG" in info.comment
+
+
+def test_deferred_split_growth_redecodes(rng):
+    """Steady state skips the mid-frame split-needs sync; a denser
+    same-geometry stream must transparently grow the split caps and
+    re-decode to exact pixels (round-4 sync removal)."""
+    h, w = 48, 64
+    smooth = smooth_image(rng, h, w, 3)
+    noisy = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    enc = Encoder()
+    p = Parameters(quality=90, restart_interval=4)
+    d_smooth = enc.encode(smooth, p)
+    d_noisy = enc.encode(noisy, p)
+
+    dec = Decoder()
+    out1 = dec.decode(d_smooth)          # converges caps on sparse content
+    out2 = dec.decode(d_noisy)           # denser: deferred overflow path
+
+    ref = Decoder().decode(d_noisy)      # fresh session, sync'd caps
+    assert np.array_equal(out2, ref)
+    assert np.array_equal(out1, Decoder().decode(d_smooth))
+
+
+def test_decode_pipelined_matches_sequential(rng):
+    """decode_pipelined: double-buffered driver yields pixel-identical
+    results to sequential decode(), including a denser stream that
+    overflows the compiled split caps mid-batch."""
+    h, w = 48, 64
+    enc = Encoder()
+    p = Parameters(quality=85, restart_interval=4)
+    streams = [enc.encode(smooth_image(rng, h, w, 3), p),
+               enc.encode(rng.integers(0, 256, (h, w, 3))
+                          .astype(np.uint8), p),
+               enc.encode(smooth_image(rng, h, w, 3), p)]
+
+    dec = Decoder()
+    outs = list(dec.decode_pipelined(streams))
+    assert len(outs) == 3
+    for s, o in zip(streams, outs):
+        assert np.array_equal(o, Decoder().decode(s))
+
+
+def test_decode_pipelined_rejects_geometry_mismatch(rng):
+    enc = Encoder()
+    p = Parameters(quality=85, restart_interval=4)
+    s1 = enc.encode(smooth_image(rng, 48, 64, 3), p)
+    s2 = enc.encode(smooth_image(rng, 32, 48, 3), p)
+    dec = Decoder()
+    with pytest.raises(ValueError):
+        list(dec.decode_pipelined([s1, s2]))

@@ -124,3 +124,40 @@ def test_mega_encoder_end_to_end(rng):
     finally:
         os.environ.pop("GPUJPEG_TPU_FUSED", None)
         os.environ.pop("GPUJPEG_TPU_MEGA", None)
+
+
+def test_mega_encoder_xq_layout_end_to_end(rng):
+    """restart_interval=8 with 64-pixel-multiple width engages the xq
+    (16-word-contiguous, in-kernel transposed) feed; bytes must match
+    the XLA pairs path exactly (round-4 data-movement redesign)."""
+    from PIL import Image
+    import gpujpeg_tpu as gj
+    from gpujpeg_tpu.models import encoder as enc_mod
+    from gpujpeg_tpu.models.encoder import MegaCaps
+
+    os.environ["GPUJPEG_TPU_FUSED"] = "interpret"
+    os.environ.pop("GPUJPEG_TPU_MEGA", None)
+    try:
+        h, w = 48, 128          # bpr=16, rstn=8 -> nsr=2, xq eligible
+        yy, xx = np.mgrid[0:h, 0:w]
+        frame = np.stack([(xx * 255 // w), (yy * 255 // h),
+                          ((xx + yy) * 255 // (w + h))], -1)
+        frame = np.clip(frame + rng.integers(-14, 14, frame.shape),
+                        0, 255).astype(np.uint8)
+        p = gj.Parameters(quality=75, restart_interval=8)
+        enc = gj.Encoder()
+        geo = enc.resolve(frame, p, None)
+        _impl, infos = enc_mod.make_rows_xbd_impl(geo)
+        assert all(i["xq"] for i in infos)   # the new path is exercised
+        out = enc.encode(frame, p)
+        assert isinstance(enc._caps[geo], MegaCaps)
+        arr = np.asarray(Image.open(io.BytesIO(out)).convert("RGB"))
+        mse = np.mean((frame.astype(float) - arr.astype(float)) ** 2)
+        assert 10 * np.log10(255 ** 2 / mse) > 28
+
+        os.environ["GPUJPEG_TPU_MEGA"] = "0"
+        out_ref = gj.Encoder().encode(frame, p)
+        assert out == out_ref
+    finally:
+        os.environ.pop("GPUJPEG_TPU_FUSED", None)
+        os.environ.pop("GPUJPEG_TPU_MEGA", None)

@@ -98,19 +98,20 @@ def main():
     for info in xbd_infos:
         lt = np.full((1, info["S"]), 1 if info["luma"] else 0, np.int32)
         stat.append((jnp.asarray(info["valid"]), jnp.asarray(lt),
-                     info["rst"], info["dct_key"]))
+                     info["rst"], info["dct_key"],
+                     info.get("xq", False)))
 
     def mk_entropy(n):
         @jax.jit
         def lp(*xbds):
             def body(i, carry):
                 tot = jnp.uint8(0)
-                for xbd, (vt, lt, rstm, dk) in zip(xbds, stat):
+                for xbd, (vt, lt, rstm, dk, xq) in zip(xbds, stat):
                     r, ob, nd = fusedpack.entropy_fused_u8(
                         xbd.at[0, 0].set(carry.astype(jnp.uint32)), vt,
                         lt, rstm, z_cap=caps.z_cap, w_out=caps.w_out,
                         consts=consts, dct_key=dk,
-                        compact_after=caps.compact)
+                        compact_after=caps.compact, xq=xq)
                     tot = (tot + r.reshape(-1)[0].astype(jnp.uint8)) \
                         .astype(jnp.uint8)
                 return tot
@@ -135,11 +136,11 @@ def main():
             def body(i, carry):
                 xbds = xbd_impl(raw.at[0, 0, 0].set(carry))
                 tot = jnp.uint8(0)
-                for xbd, (vt, lt, rstm, dk) in zip(xbds, stat):
+                for xbd, (vt, lt, rstm, dk, xq) in zip(xbds, stat):
                     r, ob, nd = fusedpack.entropy_fused_u8(
                         xbd, vt, lt, rstm, z_cap=caps.z_cap,
                         w_out=caps.w_out, consts=consts, dct_key=dk,
-                        compact_after=caps.compact)
+                        compact_after=caps.compact, xq=xq)
                     tot = (tot + r.reshape(-1)[0].astype(jnp.uint8)) \
                         .astype(jnp.uint8)
                 return tot
