@@ -184,6 +184,71 @@ def dc_identity_decode(peek16, lum, mono_l, mono_c, roff_l, roff_c):
     return jnp.where(invalid, 0, clen), sym
 
 
+def _generic_decode(peek16, lum, tbl, base_l: int, base_c: int, nw: int):
+    """(clen, sym) for one token from ANY baseline DHT table, driven by
+    scalar-memory constants (no per-table recompile — the foreign-table
+    counterpart of affine_ac_decode; reference: per-stream 64Ki LUT
+    build + walk, gpujpeg_huffman_gpu_decoder.cu:539-610).
+
+    tbl: SMEM int32 ref laid out per pack_decode_tables; base_l/base_c:
+    static offsets of the luma/chroma table block [mono17 | valoff17 |
+    hv_words(nw)].  Scalar loads issue on the scalar core alongside the
+    vector chain, so the per-step cost is close to the baked-constant
+    chains.  clen == 0 marks an invalid code."""
+    def sm(off):
+        if isinstance(lum, bool):
+            return tbl[(base_l if lum else base_c) + off]
+        if base_l == base_c:
+            return tbl[base_l + off]
+        return jnp.where(lum, tbl[base_l + off], tbl[base_c + off])
+
+    clen = jnp.ones_like(peek16)
+    for l in range(1, 16):
+        clen = clen + (peek16 > sm(l))
+    invalid = peek16 > sm(16)
+    code = peek16 >> (16 - clen)
+    off = jnp.zeros_like(peek16)
+    for l in range(1, 17):
+        off = jnp.where(clen == l, sm(17 + l), off)
+    idx = code + off                  # canonical symbol rank (F.15)
+    idx_hi = idx >> 2
+    w = jnp.zeros_like(peek16)
+    for k in range(nw):
+        w = jnp.where(idx_hi == k, sm(34 + k), w)
+    sym = (w >> ((idx & 3) * 8)) & 0xFF
+    return jnp.where(invalid, 0, clen), sym
+
+
+def pack_decode_tables(dc_l, dc_c, ac_l, ac_c):
+    """Flatten four (bits, values) DHT tables into ONE int32 array for
+    the generic kernels' scalar prefetch: [dc_l | dc_c | ac_l | ac_c],
+    each block = mono(17) + valoff(17) + hv_words(nw).  Returns
+    (arr, nw_dc, nw_ac) with nw_ac bucketed so kernel shapes (and hence
+    compiled programs) are shared across tables."""
+    from ..utils import tables
+
+    packs = [tables.packed_decode_table(*t) for t in
+             (dc_l, dc_c, ac_l, ac_c)]
+    nw_dc = 4                                     # baseline DC: <= 16 syms
+    n_ac = max(packs[2][3], packs[3][3])
+    need = -(-n_ac // 4)
+    nw_ac = next(b for b in (16, 32, 48, 64) if b >= need)
+    out = []
+    for (mono, voff, hvw, n), nw in zip(packs, (nw_dc, nw_dc,
+                                                nw_ac, nw_ac)):
+        assert -(-n // 4) <= nw, "table larger than its bucket"
+        out += list(mono) + list(voff) + list(hvw[:nw])
+    return (np.asarray(out, np.int32), nw_dc, nw_ac)
+
+
+def _generic_bases(nw_dc: int, nw_ac: int):
+    b_dc_l = 0
+    b_dc_c = 34 + nw_dc
+    b_ac_l = 2 * (34 + nw_dc)
+    b_ac_c = b_ac_l + 34 + nw_ac
+    return b_dc_l, b_dc_c, b_ac_l, b_ac_c
+
+
 def dc_decode_runtime(bits, values):
     """(mono16, rankoff) int tuples for dc_identity_decode.  Requires
     tables.dc_values_identity(values)."""
@@ -201,10 +266,27 @@ def dc_decode_runtime(bits, values):
             tuple(int(x) for x in np.asarray(valoff, np.int64)))
 
 
-def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
-                       coef_ref, err_ref, *, K: int, ac_l, ac_c,
-                       dc_mono_l, dc_mono_c, dc_roff_l, dc_roff_c,
-                       class_const=None):
+def _block_kernel_body(*refs, K: int, ac_l=None, ac_c=None,
+                       dc_mono_l=None, dc_mono_c=None,
+                       dc_roff_l=None, dc_roff_c=None,
+                       class_const=None, generic=None):
+    if generic is not None:
+        (tbl_ref, bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
+         coef_ref, err_ref) = refs
+        nw_dc, nw_ac = generic
+        b_dc_l, b_dc_c, b_ac_l, b_ac_c = _generic_bases(nw_dc, nw_ac)
+        dc_dec = functools.partial(_generic_decode, tbl=tbl_ref,
+                                   base_l=b_dc_l, base_c=b_dc_c, nw=nw_dc)
+        ac_dec = functools.partial(_generic_decode, tbl=tbl_ref,
+                                   base_l=b_ac_l, base_c=b_ac_c, nw=nw_ac)
+    else:
+        (bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
+         coef_ref, err_ref) = refs
+        dc_dec = functools.partial(
+            dc_identity_decode, mono_l=dc_mono_l, mono_c=dc_mono_c,
+            roff_l=dc_roff_l, roff_c=dc_roff_c)
+        ac_dec = functools.partial(affine_ac_decode, consts_l=ac_l,
+                                   consts_c=ac_c)
     C = bufs_ref.shape[1]
     blen = blen_ref[:, :]                       # (8, C)
     if class_const is not None:
@@ -263,8 +345,7 @@ def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
     # ---- DC token (every lane's first token), unrolled ----
     peek = window32(jnp.zeros((8, C), jnp.int32))
     peek16 = (peek >> 16).astype(jnp.int32)
-    clen, sym = dc_identity_decode(peek16, ldc, dc_mono_l, dc_mono_c,
-                                   dc_roff_l, dc_roff_c)
+    clen, sym = dc_dec(peek16, ldc)
     size = sym & 15
     consumed = clen + size
     bad = valid & ((clen == 0) | (consumed > blen) | (sym > 15))
@@ -288,7 +369,7 @@ def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
         active = (donei == 0) & (erri == 0)
         peek = window32(cursor)
         peek16 = (peek >> 16).astype(jnp.int32)
-        clen, sym = affine_ac_decode(peek16, lac, ac_l, ac_c)
+        clen, sym = ac_dec(peek16, lac)
         run = sym >> 4
         size = sym & 15
         consumed = clen + size
@@ -340,7 +421,7 @@ def _block_kernel_body(bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
 
 def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
                       C_tile: int = 128, interpret: bool = False,
-                      class_const=None):
+                      class_const=None, generic=None):
     """(bufs_t (K, L) u32, blen (1, L) i32, dc_luma/ac_luma/valid (1, L)
     i32) -> (coefs_t (64, L) int16 DIFFERENTIAL-DC, err (1, L) i32).
 
@@ -348,16 +429,29 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
     dc_l/dc_c: dc_decode_runtime constants.  Each grid tile decodes
     8*C_tile block lanes as (8, C_tile) full vregs.  class_const: see
     make_scan_kernel.
-    """
-    dc_mono_l, dc_roff_l = dc_l
-    dc_mono_c, dc_roff_c = dc_c
-    kernel = functools.partial(
-        _block_kernel_body, K=K, ac_l=ac_l, ac_c=ac_c,
-        dc_mono_l=dc_mono_l, dc_mono_c=dc_mono_c,
-        dc_roff_l=dc_roff_l, dc_roff_c=dc_roff_c,
-        class_const=class_const)
 
-    def fn(bufs_t, blen, dc_luma, ac_luma, valid):
+    generic=(nw_dc, nw_ac): FOREIGN-table mode — ac_l..dc_c are ignored
+    and the returned fn takes a leading packed-tables int32 array (see
+    pack_decode_tables) through scalar prefetch, so one compiled kernel
+    serves every table set of the same bucket."""
+    if generic is None:
+        dc_mono_l, dc_roff_l = dc_l
+        dc_mono_c, dc_roff_c = dc_c
+        kernel = functools.partial(
+            _block_kernel_body, K=K, ac_l=ac_l, ac_c=ac_c,
+            dc_mono_l=dc_mono_l, dc_mono_c=dc_mono_c,
+            dc_roff_l=dc_roff_l, dc_roff_c=dc_roff_c,
+            class_const=class_const)
+    else:
+        kernel = functools.partial(
+            _block_kernel_body, K=K, class_const=class_const,
+            generic=tuple(generic))
+
+    def fn(*args):
+        if generic is not None:
+            tbl, bufs_t, blen, dc_luma, ac_luma, valid = args
+        else:
+            bufs_t, blen, dc_luma, ac_luma, valid = args
         L = bufs_t.shape[1]
         lanes = 8 * C_tile
         G = -(-L // lanes)
@@ -374,25 +468,40 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
         row8 = lambda a: a.reshape(8, W8)
         g8 = pl.BlockSpec((8, C_tile), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-        coefs8, err8 = pl.pallas_call(
-            kernel,
-            grid=(G,),
-            in_specs=[
-                pl.BlockSpec((K * 8, C_tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                g8, g8, g8, g8,
-            ],
-            out_specs=[
-                pl.BlockSpec((512, C_tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                g8,
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((512, W8), jnp.int16),
-                jax.ShapeDtypeStruct((8, W8), jnp.int32),
-            ],
-            interpret=interpret,
-        )(bufs8, row8(blen), row8(dc_luma), row8(ac_luma), row8(valid))
+        in_specs = [
+            pl.BlockSpec((K * 8, C_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            g8, g8, g8, g8,
+        ]
+        out_specs = [
+            pl.BlockSpec((512, C_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            g8,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((512, W8), jnp.int16),
+            jax.ShapeDtypeStruct((8, W8), jnp.int32),
+        ]
+        ins = (bufs8, row8(blen), row8(dc_luma), row8(ac_luma),
+               row8(valid))
+        if generic is not None:
+            coefs8, err8 = pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1, grid=(G,),
+                    in_specs=in_specs, out_specs=out_specs),
+                out_shape=out_shape,
+                interpret=interpret,
+            )(jnp.asarray(tbl, jnp.int32), *ins)
+        else:
+            coefs8, err8 = pl.pallas_call(
+                kernel,
+                grid=(G,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(*ins)
         # un-permute: (8, 64, W8) -> (64, 8, W8) -> (64, Lp); the minor
         # (lane) dim never moves, so this is a cheap leading-dim shuffle
         coefs_t = coefs8.reshape(8, 64, W8).transpose(1, 0, 2) \
@@ -405,9 +514,9 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
 
 @functools.lru_cache(maxsize=32)
 def cached_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile=128,
-                        interpret=False, class_const=None):
+                        interpret=False, class_const=None, generic=None):
     return make_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile, interpret,
-                             class_const)
+                             class_const, generic)
 
 
 # --------------------------------------------------------------------------

@@ -332,10 +332,12 @@ def min_code_length(bits: np.ndarray) -> int:
 #
 # Parameters are tuned per quality bucket (tools/design_tables.py:
 # package-merge over the 27 entities, isotonic projection, greedy polish)
-# on a mixed photographic+synthetic corpus; on held-out content the tuned
-# tables BEAT Annex-K compressed size at almost every quality (up to -34%
-# at Q10, -3% at Q100; worst case +1.2% at Q90 luma) — the per-quality
-# fit matters more than the affine restriction loses.  The resulting
+# on a mixed photographic+synthetic corpus.  Recorded end-to-end sizes
+# (QUALITY.json, tools/quality_sweep.py, HD+4K synthetic photographic
+# frames): tuned vs Annex-K = -18.8% at Q10, -13.9% Q20, -4.2% Q50,
+# -6.8% Q100; roughly neutral in the Q70-Q90 band (worst +1.8% at Q80)
+# — the per-quality fit pays most where Annex-K's generic code lengths
+# are furthest from the realized symbol statistics.  The resulting
 # (bits, values) arrays are ordinary DHT payloads: any JPEG decoder
 # interoperates.  The Kraft budget reserves the all-ones code (T.81
 # F.1.2.3 padding safety, like libjpeg's dummy-symbol trick).
@@ -589,3 +591,34 @@ def dc_values_identity(values) -> bool:
     makes DC symbol decode free (sym = canonical rank)."""
     v = np.asarray(values, np.int64)
     return bool(np.array_equal(v, np.arange(len(v))))
+
+
+def packed_decode_table(bits, values):
+    """Generic-table decode constants for the SMEM-driven Pallas kernels
+    (ops/huffdec_kernel generic path — any baseline DHT, no per-table
+    recompile): (mono17, valoff17, hv_words64, n_codes).
+
+    mono17: maxcode16 with empty lengths back-filled so the clen compare
+    chain is monotone (same construction as dc_decode_runtime);
+    valoff17: symbol_index = (peek16 >> (16-l)) + valoff[l] (F.15);
+    hv_words64: huffval packed 4 symbols per int32 word (little-endian
+    bytes) — sym = (hv_words[idx>>2] >> (8*(idx&3))) & 0xFF.
+
+    Counterpart of the reference's per-stream 64Ki GPU decode LUT build
+    (gpujpeg_huffman_gpu_decoder.cu:539-610) reshaped for scalar-memory
+    select chains."""
+    bits = np.asarray(bits, np.int64)
+    values = np.asarray(values, np.int64)
+    maxcode16, valoff, _hv = huffman_decode_spec(bits, values)
+    mono = np.asarray(maxcode16, np.int64).copy()
+    mono[0] = -1
+    for l in range(1, 17):
+        if mono[l] < 0:
+            mono[l] = mono[l - 1]
+    n = int(bits[1:].sum())
+    hvw = np.zeros(64, np.int64)
+    for j in range(n):
+        hvw[j // 4] |= int(values[j]) << (8 * (j % 4))
+    return (tuple(int(x) for x in mono),
+            tuple(int(x) for x in np.asarray(valoff, np.int64)),
+            tuple(int(x) for x in hvw), n)
