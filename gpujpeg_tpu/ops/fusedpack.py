@@ -190,7 +190,8 @@ def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
                 moved = jnp.where(inside, _roll(b, step), jnp.uint32(0))
                 return jnp.where((w & step) != 0, moved, b)
 
-            if w_bound is None:
+            import os as _os
+            if w_bound is None or _os.environ.get("GPUJPEG_TPU_NOGATE"):
                 b = _move()
             else:
                 b = jax.lax.cond(w_bound >= step, _move, lambda b=b: b)
@@ -442,7 +443,7 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
         out_ref[:, :] = jnp.broadcast_to(m.astype(jnp.uint32),
                                          out_ref.shape)
         ob_ref[:, :] = m
-        _write_needs(needs_ref, [m] * (D + 2))
+        _write_needs(needs_ref, [m] * min(D + 2, 16))
     mats = refs[:dct_nmat]
     valid_ref, luma_ref, rst_ref, out_ref, ob_ref, needs_ref = \
         refs[dct_nmat:]
@@ -566,6 +567,8 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
 
     run16 = jnp.where(is_code, run & 15, jnp.where(is_zrl, 15, 0))
     size16 = jnp.where(is_code, size, 0)
+    if stop_after == "runs":
+        return _early_out(run16 + size16 + vb, out_ref, ob_ref, needs_ref)
 
     # per-lane table class; the mega path calls the kernel once per
     # component, so luma_const statically picks one constant set and every

@@ -66,30 +66,25 @@ def main():
             times[n] = best
         return (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0
 
-    C4, R = xbd.shape
-    C = fusedpack.pow2_ge(max(C4 * 4, 64))
-    B = C // 64
+    xq = bool(info.get("xq", False))
+    print(f"xq={xq} xbd.shape={xbd.shape}", file=sys.stderr, flush=True)
 
     def mk(stop):
         def makeloop(n):
-            kern = fusedpack.make_entropy_kernel(
-                C, caps.w_out, caps.z_cap, B, consts,
-                fusedpack._r_tile(C), False, tuple(caps.compact),
-                dct=fusedpack._dct_consts(dk, C), stop_after=stop)
-
             @jax.jit
             def lp(xbd):
                 def body(i, carry):
-                    o, ob, nd = kern(
+                    o, ob, nd = fusedpack.entropy_fused_u8(
                         xbd.at[0, 0].set(carry.astype(jnp.uint32)),
-                        vt, lt,
-                        jnp.asarray(rstm).astype(jnp.int32).reshape(1, -1))
+                        vt, lt, rstm, caps.z_cap, caps.w_out, consts,
+                        dk, compact_after=tuple(caps.compact), xq=xq,
+                        stop_after=stop)
                     return o.reshape(-1)[0].astype(jnp.int32)
                 return jax.lax.fori_loop(0, n, body, jnp.int32(0))
             return lp
         return makeloop
 
-    for stop in ("dct", "token", "tree", None):
+    for stop in ("dct", "runs", "token", "tree", None):
         t0 = time.time()
         ms = dtime(mk(stop), (xbd,))
         print(f"{str(stop):8s} {ms:8.2f} ms  (setup {time.time()-t0:.0f}s)",
