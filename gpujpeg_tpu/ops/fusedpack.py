@@ -158,6 +158,28 @@ def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
         half = 1 << lg
         span = half << 1
 
+        if (d == 1 and 1 in compact_after and not first_level_move
+                and N > 8):
+            # fused pair-merge + compaction: when level 1 compacts, every
+            # merged pair fits one word (needs[0] <= 32, enforced by
+            # mega_needs_ok), so the merge is a sub-word shift-or on the
+            # even/odd token planes — ~1/3 the ops of the in-place
+            # span-2 merge + reshape compaction on the double-size array.
+            # Single tokens are < 32 bits, so le < 32 and the shift is
+            # well-defined (first_level_move inputs may be exactly 32 and
+            # keep the general path).
+            xe = x.reshape(N // 2, 2, R)[:, 0, :]
+            xo = x.reshape(N // 2, 2, R)[:, 1, :]
+            le = blen.reshape(N // 2, 2, R)[:, 0, :]
+            lo_ = blen.reshape(N // 2, 2, R)[:, 1, :]
+            blen = le + lo_
+            needs_vals.append(jnp.max(blen, axis=0, keepdims=True))
+            nb0 = jnp.max(blen)
+            x = xe | (xo >> le.astype(jnp.uint32))
+            N >>= 1
+            sub = jax.lax.broadcasted_iota(jnp.int32, (N, R), 0)
+            continue
+
         second = (sub & half) != 0        # static: odd half of each span
 
         la = jnp.where(second, _roll(blen, half), blen)
@@ -297,9 +319,13 @@ def _tree_pad_stuff(x, blen, rst, *, N0: int, D: int, W_stuff: int,
             sc2 = (sc >> 8) | (topc << 24)
             return match_or(out, sp2, sc2, s), sp2, sc2
 
-        out, sp, sc = jax.lax.cond(
-            nff_max >= s, _step,
-            lambda out=out, sp=sp, sc=sc: (out, sp, sc))
+        import os as _os
+        if _os.environ.get("GPUJPEG_TPU_NOSTUFFGATE"):
+            out, sp, sc = _step()
+        else:
+            out, sp, sc = jax.lax.cond(
+                nff_max >= s, _step,
+                lambda out=out, sp=sp, sc=sc: (out, sp, sc))
 
     # ---- restart marker (bytes beyond end are already zero) ----
     end = row_bytes + nff                 # (1, R)
@@ -589,21 +615,40 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
             e = jnp.where(idx == s, csel(tl[s], tc[s]), e)
         return e
 
+    def chain_bin16(idx, tl, tc):
+        # binary-mux tree over a 16-entry table: 15 selects + 4 bit masks
+        # (~23 vector ops) vs the 16-step equality chain's ~32.  idx
+        # values >= 16 ALIAS to idx & 15 — callers must mask such lanes
+        # downstream (both call sites do).
+        vals = [csel(tl[s] if s < len(tl) else 0,
+                     tc[s] if s < len(tc) else 0) for s in range(16)]
+        bits = [(idx & (1 << k)) != 0 for k in range(4)]
+        lvl = vals
+        for k in range(4):
+            lvl = [jnp.where(bits[k], lvl[2 * i + 1], lvl[2 * i])
+                   for i in range(len(lvl) // 2)]
+        return lvl[0]
+
     (t0L, rtL, alL, eobL, zrlL, dcL), (t0C, rtC, alC, eobC, zrlC, dcC) = \
         consts
     # affine AC entry (see tables.affine_ac_runtime / ops.tokens).
     # Chain bounds: AC size category <= 10 (8-bit baseline, |coef| <=
-    # 1023); run-0 entries come from t0e, so rte skips s=0; el = r_len[run]
-    # + size >= 2 wherever it is consumed (run >= 1, size >= 1).
+    # 1023); run-0 entries come from t0e, so rte skips s=0.  The al
+    # lookup is packed as a full entry P[l] = (l << 16) + A[l] so the
+    # general-zone entry is one add; el >= 16 lanes read an aliased
+    # garbage P (chain_bin16) that the el >= 16 select masks.
     t0e = chain(size16, t0L, t0C, 11, lo=1)
-    rte = chain(run16, rtL, rtC, 16, lo=1)
+    rte = chain_bin16(run16, rtL, rtC)
     rl = (rte >> 20) & 0x1F
     bB = rte & 0xFFFFF
     el = rl + size16
-    a = chain(jnp.clip(el, 0, 15), alL, alC, 16, lo=2)
-    code_a = jnp.where(el >= 16, bB + size16, a + run16)
-    len_a = jnp.minimum(el, 16)
-    entry = jnp.where(run16 == 0, t0e, (len_a << 16) | code_a)
+    pL = tuple((min(l, 16) << 16) + int(alL[l]) if 2 <= l < 16 else 0
+               for l in range(16))
+    pC = tuple((min(l, 16) << 16) + int(alC[l]) if 2 <= l < 16 else 0
+               for l in range(16))
+    pe = chain_bin16(el, pL, pC)
+    entry = jnp.where(el >= 16, (16 << 16) + bB + size16, pe + run16)
+    entry = jnp.where(run16 == 0, t0e, entry)
     entry = jnp.where(is_zrl, csel(zrlL, zrlC), entry)
     entry = jnp.where(is_eob, csel(eobL, eobC), entry)
     # DC entries live only at zz == 0: run the 12-step chain on the

@@ -54,14 +54,16 @@ def main():
     dk = info["dct_key"]
 
     def dtime(make_loop, args, n_hi=9, reps=3):
+        # fetch-based sync: block_until_ready does not reliably wait on
+        # the axon tunnel; the delta method cancels the fetch constant
         times = {}
         for n in (1, n_hi):
             lp = make_loop(n)
-            jax.block_until_ready(lp(*args))
+            _ = np.asarray(lp(*args))
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                jax.block_until_ready(lp(*args))
+                _ = np.asarray(lp(*args))
                 best = min(best, time.perf_counter() - t0)
             times[n] = best
         return (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0
