@@ -277,6 +277,116 @@ def _make_idct_post_fn_t(geo: Geometry, gen: int = 0):
     return jax.jit(fn)
 
 
+def _il_comp_slots(geo: Geometry):
+    """Per-component (slot offset within the MCU, blocks per MCU) for an
+    interleaved scan — component blocks are CONSECUTIVE slots of each
+    MCU (T.81 A.2.3 ordering), so per-component extraction from the
+    (seg, mcu, slot) row layout is a contiguous middle-dim slice."""
+    out = []
+    off = 0
+    for c in geo.components:
+        nsub = c.samp_v * c.samp_h
+        out.append((off, nsub))
+        off += nsub
+    assert off == geo.blocks_per_mcu
+    return out
+
+
+def _dc_fixup_t_flat(ct, nseg: int, npb: int):
+    """Integrate differential DC on a single-component transposed
+    (64, nseg*npb) coefficient array (restart resets per segment row)."""
+    dc = ct[0, :].astype(jnp.int32).reshape(nseg, npb)
+    acc = jnp.cumsum(dc, axis=1).reshape(-1)
+    return jnp.concatenate([acc[None, :].astype(ct.dtype), ct[1:]],
+                           axis=0)
+
+
+@functools.lru_cache(maxsize=16)
+def _make_idct_post_fn_t_il(geo: Geometry):
+    """jit: (per-component TRANSPOSED (64, nseg*rst*nsub) coefficients in
+    (seg, mcu, subblock) lane order, qtabs) -> image.
+
+    The interleaved-scan companion of _make_idct_post_fn_t: the old
+    interleaved tail paid a full (L, 64) transpose plus stride-bpm minor
+    deinterleaves (~35 ms at 8K on a libjpeg-style interleaved stream);
+    here each component stays transposed through dequant+IDCT and its
+    block->plane relayout moves u32 words on major dims only.
+    Counterpart of the reference's block-list-driven interleaved decode
+    (gpujpeg_huffman_gpu_decoder.cu:442-536 + postprocessor)."""
+    assert geo.interleaved
+    out_pi = geo.param_image
+    N = tables.idct2d_matrix_zz().astype(np.float32)
+    S = geo.segment_count
+    rst = geo.segment_mcu_count
+
+    def fn(cts, qtabs):
+        p32s = []
+        for c, ct in zip(geo.components, cts):
+            nsub = c.samp_v * c.samp_h
+            nmcu = c.mcu_count_x * c.mcu_count_y
+            ct = ct.reshape(64, S * rst, nsub)[:, :nmcu, :] \
+                .reshape(64, nmcu * nsub)
+            y = ct.astype(jnp.float32) * qtabs[c.index][:, None]
+            x = jnp.dot(jnp.asarray(N.T), y,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            x = jnp.clip(jnp.round(x + 128.0), 0, 255).astype(jnp.int32)
+            # pack 4 horizontal samples per u32 word in the matmul
+            # epilogue, then relayout words on major dims (see
+            # _make_idct_post_fn_t)
+            xw = x.reshape(16, 4, -1).astype(jnp.uint32)
+            w = (xw[:, 0] | (xw[:, 1] << 8) | (xw[:, 2] << 16)
+                 | (xw[:, 3] << 24))
+            my, mx = c.mcu_count_y, c.mcu_count_x
+            sv, sh = c.samp_v, c.samp_h
+            p32 = w.reshape(8, 2, my, mx, sv, sh) \
+                .transpose(2, 4, 0, 3, 5, 1) \
+                .reshape(my * sv * 8, mx * sh * 2)
+            p32s.append(p32[:c.data_height, :c.data_width // 4])
+        interp = deckernel_mode() == "interpret"
+        out = prepost_kernel.postprocess_packed(p32s, geo, out_pi,
+                                                interpret=interp)
+        if out is not None:
+            return out
+        planes = [
+            jax.lax.bitcast_convert_type(p, jnp.uint8)
+            .reshape(c.data_height, c.data_width)
+            for p, c in zip(p32s, geo.components)]
+        return sample.postprocess(planes, geo, out_pi)
+
+    return jax.jit(fn)
+
+
+def _il_block_tail(plan, geo: Geometry, bufs, bit_len, kmode: str):
+    """Interleaved phase C: slice each component's (consecutive) MCU
+    slots out of the (nseg, rst, bpm, K) block buffers — contiguous
+    middle-dim slices, no strided minor ops — and run the
+    class-specialized Pallas block kernel per component.  Returns
+    (per-component DC-integrated transposed coefficients, per-component
+    error rows)."""
+    nseg = geo.segment_count
+    rst = geo.segment_mcu_count
+    bpm = geo.blocks_per_mcu
+    K = int(bufs.shape[1])
+    dc_pat, ac_pat, _ = plan.luma_patterns
+    bufs4 = bufs.reshape(nseg, rst, bpm, K)
+    blen3 = bit_len.reshape(nseg, rst, bpm)
+    valid3 = plan.blk_valid.reshape(nseg, rst, bpm)
+    cts, errs = [], []
+    for c, (off, nsub) in zip(geo.components, _il_comp_slots(geo)):
+        cls = (bool(dc_pat[off]), bool(ac_pat[off]))
+        fn_c = plan.kernel_block_fn(K, kmode == "interpret", cls)
+        bc = bufs4[:, :, off:off + nsub, :].reshape(-1, K).T
+        blc = blen3[:, :, off:off + nsub].reshape(1, -1)
+        va = jnp.asarray(valid3[:, :, off:off + nsub]
+                         .reshape(1, -1).astype(np.int32))
+        zr = jnp.zeros((1, bc.shape[1]), jnp.int32)
+        ct, e = fn_c(bc, blc, zr, zr, va)
+        cts.append(_dc_fixup_t_flat(ct, nseg, rst * nsub))
+        errs.append(e)
+    return cts, errs
+
+
 def _dc_fixup_t(coefs_t, comp_pattern: np.ndarray, nseg: int, bps: int):
     """Integrate differential DC on the transposed (64, L) layout: only
     sublane 0 is touched (one (nseg, bps) cumsum per component)."""
@@ -330,7 +440,7 @@ class _StreamPlan:
 
     def __init__(self, geo: Geometry, dc_specs, ac_specs,
                  dc_luma_row: np.ndarray, ac_luma_row: np.ndarray,
-                 luma_patterns, kernel_consts=None):
+                 luma_patterns, kernel_consts=None, raw_tables=None):
         self.geo = geo
         self.bps = geo.max_blocks_per_seg
         self.dc_specs = dc_specs
@@ -342,6 +452,38 @@ class _StreamPlan:
         #: table is computable (tuned AC family + identity-huffval DC);
         #: enables the Pallas block kernel
         self.kernel_consts = kernel_consts
+        #: FOREIGN-table fast path: (tbl int32 array, nw_dc, nw_ac) for
+        #: the generic scalar-prefetch Pallas kernels — engages for ANY
+        #: baseline DHT set when the computable path does not (the
+        #: reference decodes arbitrary streams at full speed via its
+        #: per-stream 64Ki LUT build, gpujpeg_huffman_gpu_decoder.cu:
+        #: 539-610; this is the no-recompile TPU equivalent)
+        self.generic = None
+        self.generic_baked = None
+        if kernel_consts is None and raw_tables is not None:
+            dc0, dc1, ac0, ac1 = raw_tables
+            tbl, nw_dc, nw_ac = huffdec_kernel.pack_decode_tables(
+                dc0, dc1, ac0, ac1)
+            self.generic = (tbl, nw_dc, nw_ac)
+            # bake the table constants in as immediates when the set is
+            # shared across many streams — worth one compile, amortized
+            # by the persistent XLA cache.  Annex-K (the libjpeg/FFmpeg
+            # default) is the universal case; per-image optimized tables
+            # stay on the no-recompile scalar-prefetch path.
+            import os
+
+            def _annexk(t, cls, luma):
+                b, v = tables.huffman_spec_for(cls, luma)
+                return (tuple(np.asarray(b, np.int64).tolist()) == t[0]
+                        and tuple(np.asarray(v, np.int64).tolist())
+                        == t[1])
+
+            if (os.environ.get("GPUJPEG_TPU_BAKE_TABLES") == "1"
+                    or (_annexk(dc0, "dc", True)
+                        and _annexk(dc1, "dc", False)
+                        and _annexk(ac0, "ac", True)
+                        and _annexk(ac1, "ac", False))):
+                self.generic_baked = tuple(int(x) for x in tbl)
         max_steps = self.bps * 66 + 4
         self.scan_fn = huffdec2.make_scan_fn(
             dc_specs, ac_specs, self.bps, max_steps,
@@ -359,12 +501,24 @@ class _StreamPlan:
 
     def kernel_block_fn(self, K: int, interpret: bool, class_const=None):
         """Pallas phase C for K-word block buffers, or None if not
-        applicable (foreign tables / oversized buffers)."""
-        if self.kernel_consts is None or K > 16:
+        applicable (oversized buffers / >2 table sets)."""
+        if K > 16:
             return None
-        ac_l, ac_c, dc_l, dc_c = self.kernel_consts
-        return huffdec_kernel.cached_block_kernel(
-            K, ac_l, ac_c, dc_l, dc_c, 1024, interpret, class_const)
+        if self.kernel_consts is not None:
+            ac_l, ac_c, dc_l, dc_c = self.kernel_consts
+            return huffdec_kernel.cached_block_kernel(
+                K, ac_l, ac_c, dc_l, dc_c, 1024, interpret, class_const)
+        if self.generic is None:
+            return None
+        tbl, nw_dc, nw_ac = self.generic
+        if self.generic_baked is not None:
+            return huffdec_kernel.cached_block_kernel(
+                K, None, None, None, None, 1024, interpret, class_const,
+                generic=(nw_dc, nw_ac), baked_tbl=self.generic_baked)
+        gfn = huffdec_kernel.cached_block_kernel(
+            K, None, None, None, None, 1024, interpret, class_const,
+            generic=(nw_dc, nw_ac))
+        return lambda *args: gfn(tbl, *args)
 
     def comp_class_ranges(self):
         """Per-component (seg_lo, seg_hi, (dc_is_luma, ac_is_luma)) when
@@ -394,23 +548,39 @@ class _StreamPlan:
         applicable (foreign tables / oversized segments or block counts:
         the loop state carries a bps-sized tuple of (8, C_tile) planes,
         so huge restart intervals would blow VMEM / unroll cost)."""
-        if self.kernel_consts is None or W > 64 or self.bps > 64:
+        if ((self.kernel_consts is None and self.generic is None)
+                or W > 64 or self.bps > 64):
             return None
         pats = None
         if self.luma_patterns is not None:
             dc_pat, ac_pat, bpm = self.luma_patterns
             pats = (tuple(bool(x) for x in dc_pat),
                     tuple(bool(x) for x in ac_pat), int(bpm))
-        ac_l, ac_c, dc_l, dc_c = self.kernel_consts
         # 512-lane tiles: the per-token loop is a single-vreg dependency
         # chain at 128 lanes (latency-bound); 4 vregs/op hides it
         # (measured 4.4 -> 2.1 ms at 8K; 1024 regresses via imbalance).
         # Small scans (< half a 4096-lane grid step) and big bps (VMEM:
         # boundary state is a bps-tuple of (8, C_tile) planes) stay at 128.
-        c_tile = 512 if (nseg >= 2048 and self.bps <= 16) else 128
-        return huffdec_kernel.cached_scan_kernel(
-            W, self.bps, ac_l, ac_c, dc_l, dc_c, c_tile, interpret, pats,
-            class_const)
+        # bps <= 32 keeps the bps-tuple boundary state under ~0.5 MB at
+        # 512 lanes; interleaved 4:4:4 scans (bps = 3*rst) were hitting
+        # the 128-lane latency-bound regime through the old bps <= 16
+        # gate (measured 47 -> ~20 ms on a PIL interleaved 8K stream)
+        c_tile = 512 if (nseg >= 2048 and self.bps <= 32) else 128
+        if self.kernel_consts is not None:
+            ac_l, ac_c, dc_l, dc_c = self.kernel_consts
+            return huffdec_kernel.cached_scan_kernel(
+                W, self.bps, ac_l, ac_c, dc_l, dc_c, c_tile, interpret,
+                pats, class_const)
+        tbl, nw_dc, nw_ac = self.generic
+        if self.generic_baked is not None:
+            return huffdec_kernel.cached_scan_kernel(
+                W, self.bps, None, None, None, None, c_tile, interpret,
+                pats, class_const, generic=(nw_dc, nw_ac),
+                baked_tbl=self.generic_baked)
+        gfn = huffdec_kernel.cached_scan_kernel(
+            W, self.bps, None, None, None, None, c_tile, interpret,
+            pats, class_const, generic=(nw_dc, nw_ac))
+        return lambda *args: gfn(tbl, *args)
 
 
 def _table_signature(ps) -> tuple:
@@ -639,10 +809,19 @@ class Decoder:
                (patterns[0].tobytes(), patterns[1].tobytes(), patterns[2]))
         plan = self._plans.get(key)
         if plan is None:
+            def raw(tabs, ids, i):
+                b, v = tabs[ids[min(i, len(ids) - 1)]]
+                return (tuple(np.asarray(b, np.int64).tolist()),
+                        tuple(np.asarray(v, np.int64).tolist()))
+
             plan = _StreamPlan(geo, dc_specs, ac_specs, dc_luma_row,
                                ac_luma_row, patterns,
                                kernel_consts=_plan_kernel_consts(
-                                   ps, dc_ids, ac_ids))
+                                   ps, dc_ids, ac_ids),
+                               raw_tables=(raw(ps.huff_dc, dc_ids, 0),
+                                           raw(ps.huff_dc, dc_ids, 1),
+                                           raw(ps.huff_ac, ac_ids, 0),
+                                           raw(ps.huff_ac, ac_ids, 1)))
             plan.comp_pattern = comp_pattern
             # per-block static info for phase C.  Each segment row carries
             # bps = max_blocks_per_seg slots; components whose
@@ -800,6 +979,35 @@ class Decoder:
             for c in geo.components
         ]).astype(np.float32)
 
+        if kfn is not None and geo.interleaved:
+            # per-component phase C + transposed tail (see
+            # _make_idct_post_fn_t_il); the pattern-muxed whole-scan
+            # kernel + (L, 64) transpose + strided deinterleave path it
+            # replaces cost ~35 ms extra at 8K
+            cts, errsC = _il_block_tail(plan, geo, bufs, bit_len, kmode)
+            t_h = None
+            if self.perf_stats:
+                jax.block_until_ready(cts[0])
+                t_h = time.perf_counter()
+                self.stats.duration_huffman_coder = (t_h - t1) * 1000.0
+            out = _make_idct_post_fn_t_il(geo)(tuple(cts),
+                                               jnp.asarray(qtabs))
+            if t_h is not None:
+                jax.block_until_ready(out)
+                self.stats.duration_dct_quantization = \
+                    (time.perf_counter() - t_h) * 1000.0
+                self.stats.duration_preprocessor = 0.0
+            out = self._apply_output_options(out, out_pi)
+            self.stats.duration_in_gpu = (time.perf_counter() - t1) * 1000.0
+            if deferred and self._split_overflowed(plan, needs, caps):
+                return self.decode_to_device(data, param_image)
+            err = np.asarray(errA).any() or any(
+                np.asarray(e).any() for e in errsC)
+            if err:
+                import logging
+                logging.getLogger("gpujpeg_tpu").warning(
+                    "corrupt segment(s) during Huffman decode")
+            return out
         if kfn is not None:
             bdc_i = jnp.asarray(plan.blk_dc_luma.astype(np.int32))[None, :]
             bac_i = jnp.asarray(plan.blk_ac_luma.astype(np.int32))[None, :]
@@ -1071,6 +1279,8 @@ class Decoder:
 
         idct_fn_t = (_make_idct_post_fn_t(geo, _ppk.dpost_generation())
                      if kfn is not None and not geo.interleaved else None)
+        idct_fn_il = (_make_idct_post_fn_t_il(geo)
+                      if kfn is not None and geo.interleaved else None)
         W = int(words_np.shape[1])
 
         wcs = None
@@ -1104,6 +1314,10 @@ class Decoder:
             needs = huffdec2.split_needs(bstart, bps)
             bufs = split_fn(words, bstart).reshape(nseg * bps, -1)
             bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(nseg * bps)
+            if idct_fn_il is not None:
+                cts, _errs = _il_block_tail(plan, geo, bufs, bit_len,
+                                            kmode)
+                return idct_fn_il(tuple(cts), qt), needs
             if kfn is not None:
                 if ranges_c is not None:
                     bufs_t = bufs.T

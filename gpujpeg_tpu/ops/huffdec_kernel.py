@@ -190,16 +190,25 @@ def _generic_decode(peek16, lum, tbl, base_l: int, base_c: int, nw: int):
     counterpart of affine_ac_decode; reference: per-stream 64Ki LUT
     build + walk, gpujpeg_huffman_gpu_decoder.cu:539-610).
 
-    tbl: SMEM int32 ref laid out per pack_decode_tables; base_l/base_c:
+    tbl: SMEM int32 ref laid out per pack_decode_tables, OR a plain int
+    tuple in the same layout (BAKED mode: constants become vector
+    immediates at the cost of a per-table-set compile — used for table
+    sets shared across many streams, e.g. Annex-K).  base_l/base_c:
     static offsets of the luma/chroma table block [mono17 | valoff17 |
     hv_words(nw)].  Scalar loads issue on the scalar core alongside the
     vector chain, so the per-step cost is close to the baked-constant
     chains.  clen == 0 marks an invalid code."""
+    baked = isinstance(tbl, tuple)
+
     def sm(off):
         if isinstance(lum, bool):
-            return tbl[(base_l if lum else base_c) + off]
+            v = tbl[(base_l if lum else base_c) + off]
+            return jnp.int32(v) if baked else v
         if base_l == base_c:
-            return tbl[base_l + off]
+            v = tbl[base_l + off]
+            return jnp.int32(v) if baked else v
+        if baked:
+            return _mux(lum, tbl[base_l + off], tbl[base_c + off])
         return jnp.where(lum, tbl[base_l + off], tbl[base_c + off])
 
     clen = jnp.ones_like(peek16)
@@ -238,7 +247,12 @@ def pack_decode_tables(dc_l, dc_c, ac_l, ac_c):
                                                 nw_ac, nw_ac)):
         assert -(-n // 4) <= nw, "table larger than its bucket"
         out += list(mono) + list(voff) + list(hvw[:nw])
-    return (np.asarray(out, np.int32), nw_dc, nw_ac)
+    # hv words carry 4 packed bytes and may exceed int32; wrap to the
+    # same bit pattern (the kernel masks & 0xFF after every shift, so
+    # arithmetic right-shift sign bits never leak into a symbol)
+    arr = (np.asarray(out, np.int64) & 0xFFFFFFFF).astype(np.uint32) \
+        .astype(np.int32)
+    return (arr, nw_dc, nw_ac)
 
 
 def _generic_bases(nw_dc: int, nw_ac: int):
@@ -269,15 +283,21 @@ def dc_decode_runtime(bits, values):
 def _block_kernel_body(*refs, K: int, ac_l=None, ac_c=None,
                        dc_mono_l=None, dc_mono_c=None,
                        dc_roff_l=None, dc_roff_c=None,
-                       class_const=None, generic=None):
+                       class_const=None, generic=None, baked_tbl=None):
     if generic is not None:
-        (tbl_ref, bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
-         coef_ref, err_ref) = refs
+        if baked_tbl is not None:
+            (bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
+             coef_ref, err_ref) = refs
+            tbl_src = baked_tbl
+        else:
+            (tbl_ref, bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
+             coef_ref, err_ref) = refs
+            tbl_src = tbl_ref
         nw_dc, nw_ac = generic
         b_dc_l, b_dc_c, b_ac_l, b_ac_c = _generic_bases(nw_dc, nw_ac)
-        dc_dec = functools.partial(_generic_decode, tbl=tbl_ref,
+        dc_dec = functools.partial(_generic_decode, tbl=tbl_src,
                                    base_l=b_dc_l, base_c=b_dc_c, nw=nw_dc)
-        ac_dec = functools.partial(_generic_decode, tbl=tbl_ref,
+        ac_dec = functools.partial(_generic_decode, tbl=tbl_src,
                                    base_l=b_ac_l, base_c=b_ac_c, nw=nw_ac)
     else:
         (bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
@@ -421,7 +441,7 @@ def _block_kernel_body(*refs, K: int, ac_l=None, ac_c=None,
 
 def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
                       C_tile: int = 128, interpret: bool = False,
-                      class_const=None, generic=None):
+                      class_const=None, generic=None, baked_tbl=None):
     """(bufs_t (K, L) u32, blen (1, L) i32, dc_luma/ac_luma/valid (1, L)
     i32) -> (coefs_t (64, L) int16 DIFFERENTIAL-DC, err (1, L) i32).
 
@@ -433,7 +453,11 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
     generic=(nw_dc, nw_ac): FOREIGN-table mode — ac_l..dc_c are ignored
     and the returned fn takes a leading packed-tables int32 array (see
     pack_decode_tables) through scalar prefetch, so one compiled kernel
-    serves every table set of the same bucket."""
+    serves every table set of the same bucket.  baked_tbl: the packed
+    table CONTENTS as a plain int tuple — compiled in as immediates
+    (one compile per table set; used for widely shared sets like
+    Annex-K, amortized by the persistent XLA cache); no leading array
+    argument then."""
     if generic is None:
         dc_mono_l, dc_roff_l = dc_l
         dc_mono_c, dc_roff_c = dc_c
@@ -445,10 +469,12 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
     else:
         kernel = functools.partial(
             _block_kernel_body, K=K, class_const=class_const,
-            generic=tuple(generic))
+            generic=tuple(generic), baked_tbl=baked_tbl)
+
+    prefetch = generic is not None and baked_tbl is None
 
     def fn(*args):
-        if generic is not None:
+        if prefetch:
             tbl, bufs_t, blen, dc_luma, ac_luma, valid = args
         else:
             bufs_t, blen, dc_luma, ac_luma, valid = args
@@ -466,15 +492,15 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
         # lane layout: block b = r * W8 + l  (r = sublane group)
         bufs8 = bufs_t.reshape(K, 8, W8).reshape(K * 8, W8)
         row8 = lambda a: a.reshape(8, W8)
-        g8 = pl.BlockSpec((8, C_tile), lambda i: (0, i),
+        g8 = pl.BlockSpec((8, C_tile), lambda i, *_: (0, i),
                           memory_space=pltpu.VMEM)
         in_specs = [
-            pl.BlockSpec((K * 8, C_tile), lambda i: (0, i),
+            pl.BlockSpec((K * 8, C_tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             g8, g8, g8, g8,
         ]
         out_specs = [
-            pl.BlockSpec((512, C_tile), lambda i: (0, i),
+            pl.BlockSpec((512, C_tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
             g8,
         ]
@@ -484,7 +510,7 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
         ]
         ins = (bufs8, row8(blen), row8(dc_luma), row8(ac_luma),
                row8(valid))
-        if generic is not None:
+        if prefetch:
             coefs8, err8 = pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -514,9 +540,10 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
 
 @functools.lru_cache(maxsize=32)
 def cached_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile=128,
-                        interpret=False, class_const=None, generic=None):
+                        interpret=False, class_const=None, generic=None,
+                        baked_tbl=None):
     return make_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile, interpret,
-                             class_const, generic)
+                             class_const, generic, baked_tbl)
 
 
 # --------------------------------------------------------------------------
@@ -531,11 +558,35 @@ def cached_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile=128,
 # Matches the boundary semantics of huffdec2.make_scan_fn exactly.
 # --------------------------------------------------------------------------
 
-def _scan_kernel_body(words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
-                      bstart_ref, err_ref, *, W: int, bps: int,
-                      max_steps: int, ac_l, ac_c,
-                      dc_mono_l, dc_mono_c, dc_roff_l, dc_roff_c,
-                      luma_patterns=None, class_const=None):
+def _scan_kernel_body(*refs, W: int, bps: int,
+                      max_steps: int, ac_l=None, ac_c=None,
+                      dc_mono_l=None, dc_mono_c=None,
+                      dc_roff_l=None, dc_roff_c=None,
+                      luma_patterns=None, class_const=None, generic=None,
+                      baked_tbl=None):
+    if generic is not None:
+        if baked_tbl is not None:
+            (words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
+             bstart_ref, err_ref) = refs
+            tbl_src = baked_tbl
+        else:
+            (tbl_ref, words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
+             bstart_ref, err_ref) = refs
+            tbl_src = tbl_ref
+        nw_dc, nw_ac = generic
+        b_dc_l, b_dc_c, b_ac_l, b_ac_c = _generic_bases(nw_dc, nw_ac)
+        dc_dec = functools.partial(_generic_decode, tbl=tbl_src,
+                                   base_l=b_dc_l, base_c=b_dc_c, nw=nw_dc)
+        ac_dec = functools.partial(_generic_decode, tbl=tbl_src,
+                                   base_l=b_ac_l, base_c=b_ac_c, nw=nw_ac)
+    else:
+        (words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
+         bstart_ref, err_ref) = refs
+        dc_dec = functools.partial(
+            dc_identity_decode, mono_l=dc_mono_l, mono_c=dc_mono_c,
+            roff_l=dc_roff_l, roff_c=dc_roff_c)
+        ac_dec = functools.partial(affine_ac_decode, consts_l=ac_l,
+                                   consts_c=ac_c)
     C = nbits_ref.shape[1]
     nbits = nbits_ref[:, :]
     nblk = nblk_ref[:, :]
@@ -594,9 +645,8 @@ def _scan_kernel_body(words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
         peek16 = (hi >> 16).astype(jnp.int32)
         is_dc = pos == 0
         ldc, lac = flags(blk)
-        dclen, dcsym = dc_identity_decode(peek16, ldc, dc_mono_l,
-                                          dc_mono_c, dc_roff_l, dc_roff_c)
-        aclen, acsym = affine_ac_decode(peek16, lac, ac_l, ac_c)
+        dclen, dcsym = dc_dec(peek16, ldc)
+        aclen, acsym = ac_dec(peek16, lac)
         clen = jnp.where(is_dc, dclen, aclen)
         sym = jnp.where(is_dc, dcsym, acsym)
         run = sym >> 4
@@ -657,7 +707,8 @@ def _scan_kernel_body(words_ref, nbits_ref, nblk_ref, ldc_ref, lac_ref,
 
 def make_scan_kernel(W: int, bps: int, ac_l, ac_c, dc_l, dc_c,
                      C_tile: int = 128, interpret: bool = False,
-                     luma_patterns=None, class_const=None):
+                     luma_patterns=None, class_const=None, generic=None,
+                     baked_tbl=None):
     """(words (nseg, W) u32, nbits/nblocks/dc_luma/ac_luma (nseg,)) ->
     (bstart (nseg, bps+1) i32, err (nseg,) bool) — kernel phase A.
 
@@ -666,17 +717,33 @@ def make_scan_kernel(W: int, bps: int, ac_l, ac_c, dc_l, dc_c,
     class_const: None or (dc_is_luma, ac_is_luma) bools when every lane
     of the call uses one table class (per-component non-interleaved
     decode) — the per-lane class muxes compile to immediates.
+    generic=(nw_dc, nw_ac): FOREIGN-table mode — ac_l..dc_c are ignored
+    and the returned fn takes a leading packed-tables int32 array (see
+    pack_decode_tables) through scalar prefetch, so one compiled kernel
+    serves every table set of the same bucket.
     """
-    dc_mono_l, dc_roff_l = dc_l
-    dc_mono_c, dc_roff_c = dc_c
     max_steps = bps * 66 + 2 * W + 8
-    kernel = functools.partial(
-        _scan_kernel_body, W=W, bps=bps, max_steps=max_steps,
-        ac_l=ac_l, ac_c=ac_c, dc_mono_l=dc_mono_l, dc_mono_c=dc_mono_c,
-        dc_roff_l=dc_roff_l, dc_roff_c=dc_roff_c,
-        luma_patterns=luma_patterns, class_const=class_const)
+    if generic is None:
+        dc_mono_l, dc_roff_l = dc_l
+        dc_mono_c, dc_roff_c = dc_c
+        kernel = functools.partial(
+            _scan_kernel_body, W=W, bps=bps, max_steps=max_steps,
+            ac_l=ac_l, ac_c=ac_c, dc_mono_l=dc_mono_l, dc_mono_c=dc_mono_c,
+            dc_roff_l=dc_roff_l, dc_roff_c=dc_roff_c,
+            luma_patterns=luma_patterns, class_const=class_const)
+    else:
+        kernel = functools.partial(
+            _scan_kernel_body, W=W, bps=bps, max_steps=max_steps,
+            luma_patterns=luma_patterns, class_const=class_const,
+            generic=tuple(generic), baked_tbl=baked_tbl)
 
-    def fn(words, nbits, nblocks, dc_luma, ac_luma):
+    prefetch = generic is not None and baked_tbl is None
+
+    def fn(*args):
+        if prefetch:
+            tbl, words, nbits, nblocks, dc_luma, ac_luma = args
+        else:
+            words, nbits, nblocks, dc_luma, ac_luma = args
         nseg = words.shape[0]
         lanes = 8 * C_tile
         G = -(-nseg // lanes)
@@ -691,27 +758,42 @@ def make_scan_kernel(W: int, bps: int, ac_l, ac_c, dc_l, dc_c,
             ac_luma = jnp.pad(ac_luma, (0, Np - nseg))
         w8 = wt.reshape(W, 8, N8).reshape(W * 8, N8)
         row8 = lambda a: a.astype(jnp.int32).reshape(8, N8)
-        g8 = pl.BlockSpec((8, C_tile), lambda i: (0, i),
+        g8 = pl.BlockSpec((8, C_tile), lambda i, *_: (0, i),
                           memory_space=pltpu.VMEM)
-        bstart8, err8 = pl.pallas_call(
-            kernel,
-            grid=(G,),
-            in_specs=[
-                pl.BlockSpec((W * 8, C_tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                g8, g8, g8, g8,
-            ],
-            out_specs=[
-                pl.BlockSpec(((bps + 1) * 8, C_tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                g8,
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct(((bps + 1) * 8, N8), jnp.int32),
-                jax.ShapeDtypeStruct((8, N8), jnp.int32),
-            ],
-            interpret=interpret,
-        )(w8, row8(nbits), row8(nblocks), row8(dc_luma), row8(ac_luma))
+        in_specs = [
+            pl.BlockSpec((W * 8, C_tile), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            g8, g8, g8, g8,
+        ]
+        out_specs = [
+            pl.BlockSpec(((bps + 1) * 8, C_tile), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            g8,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct(((bps + 1) * 8, N8), jnp.int32),
+            jax.ShapeDtypeStruct((8, N8), jnp.int32),
+        ]
+        ins = (w8, row8(nbits), row8(nblocks), row8(dc_luma),
+               row8(ac_luma))
+        if prefetch:
+            bstart8, err8 = pl.pallas_call(
+                kernel,
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=1, grid=(G,),
+                    in_specs=in_specs, out_specs=out_specs),
+                out_shape=out_shape,
+                interpret=interpret,
+            )(jnp.asarray(tbl, jnp.int32), *ins)
+        else:
+            bstart8, err8 = pl.pallas_call(
+                kernel,
+                grid=(G,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(*ins)
         # (bps+1, 8, N8) -> (bps+1, nseg) -> (nseg, bps+1): only the
         # final small transpose moves the minor dim
         bstart = bstart8.reshape(bps + 1, Np).T[:nseg]
@@ -724,6 +806,7 @@ def make_scan_kernel(W: int, bps: int, ac_l, ac_c, dc_l, dc_c,
 @functools.lru_cache(maxsize=32)
 def cached_scan_kernel(W, bps, ac_l, ac_c, dc_l, dc_c, C_tile=128,
                        interpret=False, luma_patterns=None,
-                       class_const=None):
+                       class_const=None, generic=None, baked_tbl=None):
     return make_scan_kernel(W, bps, ac_l, ac_c, dc_l, dc_c, C_tile,
-                            interpret, luma_patterns, class_const)
+                            interpret, luma_patterns, class_const,
+                            generic, baked_tbl)

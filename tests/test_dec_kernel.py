@@ -49,9 +49,12 @@ def test_kernel_selected_for_tuned_stream(stream, monkeypatch):
     assert plan.kernel_block_fn(4, True) is not None
 
 
-def test_annexk_stream_falls_back(monkeypatch, rng):
-    """Foreign-table streams must take the XLA path (kernel_consts None)
-    and still decode correctly under the kernel mode flag."""
+def test_annexk_stream_uses_generic_kernel(monkeypatch, rng):
+    """Foreign-table (Annex-K) streams take the GENERIC kernel path —
+    scalar-prefetch packed tables, no per-table recompile (the TPU
+    counterpart of the reference's per-stream 64Ki LUT build,
+    gpujpeg_huffman_gpu_decoder.cu:539-610) — and decode identically to
+    the XLA path."""
     img = rng.integers(0, 256, (48, 48, 3), np.uint8)
     data = bytes(Encoder().encode(
         img, Parameters(quality=75, restart_interval=4,
@@ -67,9 +70,48 @@ def test_annexk_stream_falls_back(monkeypatch, rng):
     dec = Decoder()
     plan = dec._plan_for(geo, ps)
     assert plan.kernel_consts is None
+    assert plan.generic is not None
+    assert plan.kernel_block_fn(4, True) is not None
+    assert plan.kernel_scan_fn(8, geo.segment_count, True) is not None
     ref = _decode_with_mode(data, "0", monkeypatch)
     got = _decode_with_mode(data, "interpret", monkeypatch)
     assert np.array_equal(ref, got)
+
+
+def test_pil_optimized_stream_generic_kernel(monkeypatch, rng):
+    """A libjpeg-encoded stream (PIL, optimize=True -> per-image custom
+    Huffman tables with non-identity DC huffval) decodes on the generic
+    kernel path, bit-identical to the XLA path and faithful to PIL's own
+    decode."""
+    import io
+
+    from PIL import Image
+
+    img = rng.integers(0, 256, (64, 80, 3), np.uint8)
+    buf = io.BytesIO()
+    # 4:4:4: PIL's decoder applies fancy (triangle) chroma upsampling,
+    # ours replicates like the reference — only comparable unsubsampled
+    Image.fromarray(img).save(buf, "JPEG", quality=75, optimize=True,
+                              restart_marker_blocks=8, subsampling=0)
+    data = buf.getvalue()
+
+    from gpujpeg_tpu.stream import reader
+
+    ps = reader.parse(data)
+    param = reader.parsed_to_parameters(ps)
+    out_pi = dec_mod.resolve_output(ps, None, 0)
+    from gpujpeg_tpu.utils.geometry import get_geometry
+
+    geo = get_geometry(param, out_pi.with_(width_padding=0))
+    dec = Decoder()
+    plan = dec._plan_for(geo, ps)
+    assert plan.kernel_consts is None and plan.generic is not None
+    ref = _decode_with_mode(data, "0", monkeypatch)
+    got = _decode_with_mode(data, "interpret", monkeypatch)
+    assert np.array_equal(ref, got)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    # different IDCT implementations: require close agreement, not equality
+    assert np.mean(np.abs(got.astype(int) - pil.astype(int))) < 2.0
 
 
 def test_kernel_corrupt_segment_contained(stream, monkeypatch):
