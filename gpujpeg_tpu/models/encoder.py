@@ -52,7 +52,8 @@ def adjust_params(param: Parameters, pi: ImageParameters) -> Parameters:
                          or s.vertical != sf[0].vertical for s in sf)
         bpm = sum(s.horizontal * s.vertical for s in sf)
         param = param.with_(restart_interval=suggest_restart_interval(
-            pi, param.comp_count, subsampled, param.interleaved, bpm))
+            pi, param.comp_count, subsampled, param.interleaved, bpm,
+            param.quality))
     if param.comp_count == 1:
         # grayscale always luminance; internal color space irrelevant
         param = param.with_(interleaved=False)

@@ -305,7 +305,7 @@ def get_geometry(param: Parameters, param_image: ImageParameters) -> Geometry:
 def suggest_restart_interval(
     param_image: ImageParameters, comp_count: int,
     subsampled: bool, interleaved: bool,
-    blocks_per_mcu: int = 0,
+    blocks_per_mcu: int = 0, quality: int = 75,
 ) -> int:
     """TPU-tuned auto restart interval.
 
@@ -316,14 +316,25 @@ def suggest_restart_interval(
     so SHORTER segments win: ~8 blocks per segment costs ~7% stream size
     in extra restart markers but runs the 8K encode 1.7x faster (and
     shrinks the decoder's per-segment scan the same way).
+
+    QUALITY-aware: at very high quality the per-segment byte count grows
+    ~6x (Q75 -> Q100), pushing the decoder's per-segment word window past
+    the Pallas scan kernel's W <= 64 budget and onto the XLA fallback
+    (measured 88 ms for an 8K Q100 decode vs 12.5 at Q75).  Halving the
+    interval restores the kernel path for ~1% extra marker overhead.
     """
+    blocks = 8                          # blocks per segment target
+    if quality >= 98:
+        blocks = 2
+    elif quality >= 93:
+        blocks = 4
     if not interleaved:
-        return 8                        # blocks (== MCUs) per segment
-    # target ~8 blocks per segment; blocks per interleaved MCU comes from
-    # the caller's sampling factors (6 for 4:2:0, 4 for 4:2:2, comp_count
-    # for 4:4:4) with a subsampling-derived fallback
+        return blocks                   # blocks (== MCUs) per segment
+    # blocks per interleaved MCU comes from the caller's sampling factors
+    # (6 for 4:2:0, 4 for 4:2:2, comp_count for 4:4:4) with a
+    # subsampling-derived fallback
     bpm = blocks_per_mcu or (6 if subsampled else comp_count)
-    return max(1, 8 // max(bpm, 1))
+    return max(1, blocks // max(bpm, 1))
 
 
 def suggest_restart_interval_gpujpeg(
