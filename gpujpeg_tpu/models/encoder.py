@@ -663,6 +663,21 @@ def grown_caps(geo: Geometry, caps: Caps, need_pack: np.ndarray,
     return Caps(pack=pack, z_cap=z_cap)
 
 
+def grown_caps_for(geo: Geometry, caps, needs):
+    """Grow any caps flavor so the realized needs fit — the shared
+    overflow step of the convergence loop (encode_to_device) and the
+    mesh BatchEncoder's growth protocol."""
+    if isinstance(caps, MegaCaps):
+        if int(needs[-2]) > 250:
+            return initial_caps(geo)
+        return grown_mega_caps(geo, caps, needs)
+    if isinstance(caps, FusedCaps):
+        if int(needs[-2]) > 250:
+            return initial_caps(geo)
+        return grown_fused_caps(geo, caps, needs)
+    return grown_caps(geo, caps, needs[:-1], int(needs[-1]))
+
+
 def fused_mode() -> str:
     """Fused Pallas entropy kernel (ops/fusedpack) mode:
     'on' (default on TPU), 'off' (XLA merge tree; default on CPU), or

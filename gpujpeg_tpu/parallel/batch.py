@@ -72,13 +72,19 @@ def feasible_seg_shards(geo: Geometry, n_max: int) -> int:
 
 
 def make_batch_encode_fn(mesh: Mesh, param: Parameters,
-                         pi: ImageParameters, caps: enc_mod.Caps):
+                         pi: ImageParameters, caps):
     """Sharded batched encode: raw (B, H, W, C) -> (rows, row_bytes).
 
     The frame batch is sharded over 'data'; each frame's rows over 'seg'.
     Every shard emits RST markers for ALL its segments (scan-final markers
     of the whole frame are dropped during host stitching) with globally
     correct RST(n mod 8) indices.
+
+    caps selects the entropy back-end exactly like the single-chip
+    encoder: MegaCaps -> the DCT-fused entropy megakernel per component
+    (the same pipeline that produces the single-chip numbers, under
+    shard_map); Caps -> the XLA merge tree (CPU-mesh tests).  FusedCaps
+    is not supported under the mesh — callers get it promoted to Caps.
     """
     n_seg = mesh.shape["seg"]
     H = pi.height
@@ -88,38 +94,79 @@ def make_batch_encode_fn(mesh: Mesh, param: Parameters,
     if n_seg > 1 and not shardable(get_geometry(param, pi), n_seg):
         raise ValueError("geometry not row-shardable into whole segments")
 
-    tokens_impl = enc_mod.make_rows_tokens_impl(geo_local)
-    from ..ops import bitmerge
+    mega = isinstance(caps, enc_mod.MegaCaps)
+    if mega:
+        from ..ops import fusedpack
+        from ..utils import tables as _tables
 
-    # per-scan local segment counts for global RST numbering
-    scan_bounds = geo_local.scan_seg_bounds
-    seg_scan = np.zeros(geo_local.segment_count, np.int32)
-    seg_local_idx = np.zeros(geo_local.segment_count, np.int32)
-    for k in range(geo_local.scan_count):
-        b0, b1 = scan_bounds[k], scan_bounds[k + 1]
-        seg_scan[b0:b1] = k
-        seg_local_idx[b0:b1] = np.arange(b1 - b0)
-    scan_counts = np.asarray([b1 - b0 for b0, b1 in
-                              zip(scan_bounds[:-1], scan_bounds[1:])],
-                             np.int64)
+        interp = enc_mod.fused_mode() == "interpret"
+        xbd_impl, xbd_infos = enc_mod.make_rows_xbd_impl(geo_local)
+        consts = _tables.entropy_kernel_consts(param.quality)
 
-    def frame_fn(raw, shard_idx):
-        bits, lens = tokens_impl(raw)
-        words, row_bits, need1 = bitmerge.pack_rows_merge(bits, lens,
-                                                          caps=caps.pack)
-        seg_bytes = (row_bits + 7) >> 3
-        padded = bitmerge.or_pad_bits(words, row_bits)
-        # global RST index: shard stripes are scan-major contiguous
-        gidx = (shard_idx * jnp.asarray(scan_counts.astype(np.int32))[
-            jnp.asarray(seg_scan)] + jnp.asarray(seg_local_idx))
-        rst_marker = (0xD0 + (gidx % 8)).astype(jnp.uint32)
-        rows, out_bytes, max_z = bitmerge.stuff_rows_roll(
-            padded, seg_bytes, rst_marker, z_cap=caps.z_cap)
-        return rows, out_bytes, jnp.concatenate([need1, max_z[None]])
+        def frame_fn(raw, shard_idx):
+            # same megakernel pipeline as make_full_encode_fn, with the
+            # per-component RST indices offset by the shard's global
+            # segment base (shard stripes are scan-major contiguous, so
+            # scan k's base is shard_idx * S_k); every segment gets a
+            # marker — the host stitch drops frame-final ones
+            xbds = xbd_impl(raw)
+            rows_l, ob_l, needs_l = [], [], []
+            for xbd, info in zip(xbds, xbd_infos):
+                S = info["S"]
+                luma_t = np.full((1, S), 1 if info["luma"] else 0,
+                                 np.int32)
+                rstm = (0xD0 + ((jnp.arange(S, dtype=jnp.int32)
+                                 + shard_idx * S) % 8)).astype(jnp.uint32)
+                r, ob, nd = fusedpack.entropy_fused_u8(
+                    xbd, jnp.asarray(info["valid"]),
+                    jnp.asarray(luma_t), rstm,
+                    z_cap=caps.z_cap, w_out=caps.w_out, consts=consts,
+                    dct_key=info["dct_key"], interpret=interp,
+                    compact_after=caps.compact,
+                    xq=info.get("xq", False))
+                rows_l.append(r)
+                ob_l.append(ob)
+                needs_l.append(nd)
+            rows = jnp.concatenate(rows_l)
+            out_bytes = jnp.concatenate(ob_l)
+            needs = functools.reduce(jnp.maximum, needs_l)
+            return rows, out_bytes, needs
+    else:
+        tokens_impl = enc_mod.make_rows_tokens_impl(geo_local)
+        from ..ops import bitmerge
+
+        # per-scan local segment counts for global RST numbering
+        scan_bounds = geo_local.scan_seg_bounds
+        seg_scan = np.zeros(geo_local.segment_count, np.int32)
+        seg_local_idx = np.zeros(geo_local.segment_count, np.int32)
+        for k in range(geo_local.scan_count):
+            b0, b1 = scan_bounds[k], scan_bounds[k + 1]
+            seg_scan[b0:b1] = k
+            seg_local_idx[b0:b1] = np.arange(b1 - b0)
+        scan_counts = np.asarray([b1 - b0 for b0, b1 in
+                                  zip(scan_bounds[:-1], scan_bounds[1:])],
+                                 np.int64)
+
+        def frame_fn(raw, shard_idx):
+            bits, lens = tokens_impl(raw)
+            words, row_bits, need1 = bitmerge.pack_rows_merge(
+                bits, lens, caps=caps.pack)
+            seg_bytes = (row_bits + 7) >> 3
+            padded = bitmerge.or_pad_bits(words, row_bits)
+            # global RST index: shard stripes are scan-major contiguous
+            gidx = (shard_idx * jnp.asarray(scan_counts.astype(np.int32))[
+                jnp.asarray(seg_scan)] + jnp.asarray(seg_local_idx))
+            rst_marker = (0xD0 + (gidx % 8)).astype(jnp.uint32)
+            rows, out_bytes, max_z = bitmerge.stuff_rows_roll(
+                padded, seg_bytes, rst_marker, z_cap=caps.z_cap)
+            return rows, out_bytes, jnp.concatenate([need1, max_z[None]])
 
     def shard_fn(raws):  # (B_local, H_local, W, C)
         my = jax.lax.axis_index("seg")
-        rows, out_bytes, needs = jax.vmap(lambda r: frame_fn(r, my))(raws)
+        outs = [frame_fn(raws[b], my) for b in range(raws.shape[0])]
+        rows = jnp.stack([o[0] for o in outs])
+        out_bytes = jnp.stack([o[1] for o in outs])
+        needs = jnp.stack([o[2] for o in outs])
         return rows[:, None], out_bytes[:, None], needs[:, None]
 
     mapped = shard_map(
@@ -135,43 +182,50 @@ class BatchEncoder:
     """Encode batches of equally-sized frames across a device mesh."""
 
     def __init__(self, mesh: Mesh, param: Parameters, pi: ImageParameters,
-                 caps: enc_mod.Caps = None):
+                 caps=None):
         self.mesh = mesh
         self.param = enc_mod.adjust_params(param, pi)
         self.pi = pi
         self.geo = get_geometry(self.param, pi)
         n_seg = mesh.shape["seg"]
         geo_l = get_geometry(self.param, pi.with_(height=pi.height // n_seg))
+        self.geo_local = geo_l
         if caps is None:
-            # worst-case tree capacities (always correct); the stuffing
-            # z_cap is validated per batch via the max_z output
-            pack = bitmerge_worst(geo_l)
-            caps = enc_mod.Caps(pack=pack, z_cap=max(16, pack[-1] // 8))
+            # same back-end selection as the single-chip encoder: the
+            # megakernel on TPU, the XLA merge tree on CPU meshes; the
+            # deep-stuff FusedCaps flavor is promoted to the XLA tree
+            # (its kernel is not plumbed through shard_map)
+            caps = enc_mod._initial_caps_for(geo_l)
+            if isinstance(caps, enc_mod.FusedCaps):
+                caps = enc_mod.initial_caps(geo_l)
         self.caps = caps
-        fn, self.geo_local = make_batch_encode_fn(
-            mesh, self.param, pi, self.caps)
-        self.fn = jax.jit(fn)
+        self._build()
         self.n_seg = n_seg
 
+    def _build(self):
+        fn, self.geo_local = make_batch_encode_fn(
+            self.mesh, self.param, self.pi, self.caps)
+        self.fn = jax.jit(fn)
+
     def encode_batch(self, raws) -> list:
-        """raws: (B, H, W, C) uint8 -> list of JPEG byte strings."""
-        res = self.fn(jnp.asarray(raws))
-        jax.block_until_ready(res)
-        rows, row_bytes, needs = (np.asarray(r) for r in res)
-        needs = needs.reshape(-1, needs.shape[-1])
-        need1 = needs[:, :-1].max(axis=0)
-        max_z = int(needs[:, -1].max())
-        for i, cap in enumerate(self.caps.pack):
-            if int(need1[i]) > cap * 32:
-                raise RuntimeError(
-                    f"pack capacity overflow at level {i + 1} "
-                    f"({int(need1[i])} bits > {cap * 32}); construct "
-                    "BatchEncoder with larger caps")
-        if max_z > self.caps.z_cap:
-            raise RuntimeError(
-                f"stuffing z_cap overflow ({max_z} > "
-                f"{self.caps.z_cap}); construct BatchEncoder with larger "
-                "caps.z_cap")
+        """raws: (B, H, W, C) uint8 -> list of JPEG byte strings.
+
+        Capacity overflows (content denser than any seen) grow the caps
+        and transparently re-encode — the mesh version of the
+        single-chip sticky-caps convergence (no RuntimeError)."""
+        raws = jnp.asarray(raws)
+        for _attempt in range(12):
+            res = self.fn(raws)
+            jax.block_until_ready(res)
+            rows, row_bytes, needs = (np.asarray(r) for r in res)
+            need_vec = needs.reshape(-1, needs.shape[-1]).max(axis=0)
+            if enc_mod.caps_ok_for(self.geo_local, self.caps, need_vec):
+                break
+            self.caps = enc_mod.grown_caps_for(self.geo_local, self.caps,
+                                               need_vec)
+            self._build()
+        else:
+            raise RuntimeError("capacity growth did not converge")
         header = jwriter.write_header(self.geo)
         out = []
         for b in range(rows.shape[0]):

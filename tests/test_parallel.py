@@ -117,3 +117,51 @@ def test_batch_decode_frames(rng):
     for i, s in enumerate(streams):
         single = dec.decode(s)
         assert np.array_equal(out[i], single), f"frame {i} differs"
+
+
+def test_mega_batch_equals_single(monkeypatch, rng):
+    """The mesh BatchEncoder runs the SAME DCT-fused entropy megakernel
+    as the single-chip path (VERDICT r3 item 5): under interpret mode,
+    sharded output must be byte-identical to the single-device
+    megakernel stream."""
+    from gpujpeg_tpu import Encoder
+    from gpujpeg_tpu.models import encoder as enc_mod
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    monkeypatch.setenv("GPUJPEG_TPU_FUSED", "interpret")
+    mesh = pmesh.make_mesh(4, data=2, seg=2)
+    H, W = 32, 64
+    param = Parameters(quality=85, restart_interval=8)
+    pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    frames = np.stack([smooth_image(rng, H, W, 3) for _ in range(2)])
+    be = pbatch.BatchEncoder(mesh, param, pi)
+    assert isinstance(be.caps, enc_mod.MegaCaps)
+    streams = be.encode_batch(frames)
+    enc = Encoder()
+    for i in range(2):
+        single = enc.encode(frames[i], param, pi)
+        assert streams[i] == single, f"frame {i} differs"
+
+
+def test_mega_batch_growth_protocol(monkeypatch, rng):
+    """Noise frames overflow the initial mega capacities; encode_batch
+    must grow and re-encode transparently (no RuntimeError)."""
+    from gpujpeg_tpu.models import encoder as enc_mod
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    monkeypatch.setenv("GPUJPEG_TPU_FUSED", "interpret")
+    mesh = pmesh.make_mesh(2, data=2, seg=1)
+    H, W = 16, 32
+    param = Parameters(quality=100, restart_interval=8)
+    pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    frames = rng.integers(0, 256, (2, H, W, 3), np.uint8)
+    be = pbatch.BatchEncoder(mesh, param, pi)
+    assert isinstance(be.caps, enc_mod.MegaCaps)
+    streams = be.encode_batch(frames)
+    for i in range(2):
+        dec = pil_decode(streams[i])
+        assert psnr(frames[i], dec) > 30
