@@ -83,7 +83,7 @@ def delta_time(loop, args, n_hi=9, reps=3):
     return (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0
 
 
-def bench_encode(name, h, w, quality, matrix):
+def bench_encode(name, h, w, quality, matrix, **pkw):
     import jax
     import jax.numpy as jnp
 
@@ -93,7 +93,10 @@ def bench_encode(name, h, w, quality, matrix):
     t0 = time.time()
     frame = synth_frame(h, w)
     enc = Encoder()
-    param = Parameters(quality=quality, restart_interval=-1)
+    enc.segment_info = True      # -g APP13 index: the decode benches'
+    # host parse then takes the O(segments) offset path (reference
+    # benchmarks its fast-decode story the same way, reader.c:1167-1232)
+    param = Parameters(quality=quality, restart_interval=-1, **pkw)
     # converge capacities (fetches meta; sacrificial fetch already paid)
     geo, res, meta = enc.encode_to_device(frame, param)
     caps = enc._caps[geo]
@@ -116,6 +119,31 @@ def bench_encode(name, h, w, quality, matrix):
     return dt, enc, geo, res, meta
 
 
+def host_prep_ms(stream, reps=5):
+    """Warm host-side cost per frame: marker parse + segment ranges +
+    unstuffed row packing (everything decode does off-device)."""
+    from gpujpeg_tpu import Decoder
+    from gpujpeg_tpu.models.decoder import _bucket, resolve_output
+    from gpujpeg_tpu.stream import reader
+    from gpujpeg_tpu.stream import segments as segprep
+    from gpujpeg_tpu.utils.geometry import get_geometry
+
+    dec = Decoder()
+    best = float("inf")
+    for _ in range(reps + 1):
+        t0 = time.perf_counter()
+        ps = reader.parse(stream)
+        param = reader.parsed_to_parameters(ps)
+        out_pi = resolve_output(ps, None, 0)
+        geo = get_geometry(param, out_pi.with_(width_padding=0))
+        ranges = dec._segment_ranges(ps, geo)
+        mw = _bucket((int((ranges[:, 1] - ranges[:, 0]).max()) + 3) // 4)
+        segprep.pack_segments_matrix(ps.data, ranges, mw)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)    # first rep pays one-time costs
+    return best * 1000.0
+
+
 def bench_decode(name, stream, matrix):
     import jax
 
@@ -125,10 +153,6 @@ def bench_decode(name, stream, matrix):
     dec = Decoder()
     fn, words, nbits = dec.compile_stream_pipeline(stream)
     import jax.numpy as jnp
-
-    # warm host-parse figure (the first parse pays lazy imports and cold
-    # allocations; steady-state serving sees the warm cost)
-    jax.block_until_ready(dec.decode_to_device(stream))
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def loop(words, nbits, n):
@@ -140,12 +164,54 @@ def bench_decode(name, stream, matrix):
         return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
     dt = delta_time(loop, (words, nbits))
-    host_ms = dec.stats.duration_stream
+    host_ms = host_prep_ms(stream)
     matrix[name] = {"ms": round(dt, 3),
                     "host_parse_ms": round(host_ms, 2),
+                    "total_ms": round(dt + host_ms, 2),
                     "setup_s": round(time.time() - t0, 1)}
-    log(f"[bench] {name}: {dt:.2f} ms/frame device "
-        f"(+{host_ms:.1f} ms host parse, setup {time.time()-t0:.0f}s)")
+    log(f"[bench] {name}: {dt:.2f} ms device + {host_ms:.1f} ms host "
+        f"= {dt + host_ms:.1f} ms total (setup {time.time()-t0:.0f}s)")
+    return dt
+
+
+def bench_mesh_anchor(matrix):
+    """8K Q75 encode through the mesh BatchEncoder on a 1x1 mesh (one
+    real chip): the single-chip anchor for multi-chip scaling claims.
+    Should be ~= the plain single-chip pipeline (same megakernel)."""
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from gpujpeg_tpu import ImageParameters, ColorSpace, Parameters, \
+        PixelFormat
+    from gpujpeg_tpu.parallel import batch as pbatch, mesh as pmesh
+
+    t0 = time.time()
+    h, w = SIZES["8k"]
+    frame = synth_frame(h, w)
+    mesh = pmesh.make_mesh(1, data=1, seg=1)
+    pi = ImageParameters(width=w, height=h, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    be = pbatch.BatchEncoder(mesh, Parameters(quality=75,
+                                              restart_interval=-1), pi)
+    be.encode_batch(np.asarray(frame)[None])   # converge caps
+    fn = be.fn
+
+    @ft.partial(jax.jit, static_argnames=("n",))
+    def loop(raw, n):
+        def body(i, carry):
+            rows, ob, needs = fn(raw.at[0, 0, 0, 0].set(carry))
+            return ob.reshape(-1)[0].astype(jnp.uint8)
+
+        return jax.lax.fori_loop(0, n, body, jnp.uint8(0))
+
+    raws = jnp.asarray(np.asarray(frame)[None])
+    dt = delta_time(loop, (raws,))
+    matrix["encode_8k_q75_mesh1x1"] = {
+        "ms": round(dt, 3), "setup_s": round(time.time() - t0, 1)}
+    log(f"[bench] mesh 1x1 anchor: {dt:.2f} ms/frame "
+        f"(setup {time.time()-t0:.0f}s)")
     return dt
 
 
@@ -249,6 +315,50 @@ def main():
             save_matrix(matrix)
         except Exception as ex:
             log(f"[bench] decode 8k q{q} FAILED: {ex!r}")
+
+    # foreign stream: PIL/libjpeg interleaved 4:4:4 Q75 with restart
+    # markers — the real-world "decode someone else's JPEG" case
+    # (VERDICT r3 item 3); tables are Annex-K (libjpeg default)
+    if left() > 500:
+        try:
+            import io as iomod
+
+            import jax as _jax
+            from PIL import Image
+
+            t0 = time.time()
+            frame = synth_frame(*SIZES["8k"])
+            _jax.block_until_ready(frame)
+            fnp = np.asarray(frame)
+            buf = iomod.BytesIO()
+            Image.fromarray(fnp).save(buf, "JPEG", quality=75,
+                                      restart_marker_blocks=8,
+                                      subsampling=0)
+            log(f"[bench] PIL 8K stream: {buf.tell()/1e6:.1f} MB "
+                f"({time.time()-t0:.0f}s)")
+            bench_decode("decode_8k_foreign_pil", buf.getvalue(), matrix)
+            save_matrix(matrix)
+        except Exception as ex:
+            log(f"[bench] foreign decode FAILED: {ex!r}")
+
+    # interleaved encode (-i): runs the pairs tokenizer + deep kernel
+    # path (mega_supported excludes interleaved scans)
+    if left() > 500:
+        try:
+            bench_encode("encode_8k_q75_interleaved_device",
+                         *SIZES["8k"], 75, matrix, interleaved=True)
+            save_matrix(matrix)
+        except Exception as ex:
+            log(f"[bench] interleaved encode FAILED: {ex!r}")
+
+    # 1x1-mesh anchor: the sharded BatchEncoder pipeline on ONE chip —
+    # the per-chip ms/frame that multi-chip scaling claims anchor on
+    if left() > 500:
+        try:
+            bench_mesh_anchor(matrix)
+            save_matrix(matrix)
+        except Exception as ex:
+            log(f"[bench] mesh anchor FAILED: {ex!r}")
 
     save_matrix(matrix)
     log("[bench] matrix: " + json.dumps(matrix))

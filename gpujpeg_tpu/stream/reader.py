@@ -56,7 +56,8 @@ class ParsedStream:
     comment: Optional[str] = None
     orientation: Optional[Orientation] = None
     scans: List[ScanInfo] = dataclasses.field(default_factory=list)
-    segment_info: Dict[int, List[int]] = dataclasses.field(default_factory=dict)
+    #: per-scan list of raw APP13 offset chunks (big-endian u32 arrays)
+    segment_info: Dict[int, list] = dataclasses.field(default_factory=dict)
     adobe_transform: Optional[int] = None
     data: Optional[np.ndarray] = None  # uint8 view of the input
 
@@ -217,12 +218,13 @@ def parse(data: bytes) -> ParsedStream:
                 log.debug("unparseable Exif APP1")
             ps.header_type = HeaderType.EXIF
         elif marker == markers.APP13:
-            # GPUJPEG segment-info (gpujpeg_reader.c:347-390)
+            # GPUJPEG segment-info (gpujpeg_reader.c:347-390); chunks are
+            # kept as numpy arrays and concatenated at SOS — a Python
+            # list round-trip cost ~20 ms per 8K frame
             if length >= 3:
                 scan_index = body[0]
                 payload = np.frombuffer(bytes(body[1:]), dtype=">u4")
-                ps.segment_info.setdefault(scan_index, []).extend(
-                    payload.tolist())
+                ps.segment_info.setdefault(scan_index, []).append(payload)
         elif marker == markers.APP14:
             if body[:5] == b"Adobe" and len(body) >= 12:
                 ps.adobe_transform = body[11]
@@ -308,19 +310,20 @@ def parse(data: bytes) -> ParsedStream:
             scan.sos_pos = pos - 2
             scan.data_start = scan_data_start
             si = ps.segment_info.get(len(ps.scans))
-            if si and (len(si) < 2
-                       or bool((np.diff(np.asarray(si, np.int64)) < 0)
-                               .any())
-                       or scan_data_start + si[-1] > len(arr)):
+            off = (np.concatenate(si).astype(np.int64)
+                   if si else None)
+            if off is not None and (
+                    len(off) < 2
+                    or bool((np.diff(off) < 0).any())
+                    or scan_data_start + int(off[-1]) > len(arr)):
                 # corrupt segment-info index (non-monotonic or out of
                 # range): ignore it and fall back to marker parsing
                 log.warning("scan %d: invalid APP13 segment-info offsets; "
                             "falling back to scan parsing", len(ps.scans))
-                si = None
-            if si:
+                off = None
+            if off is not None:
                 # O(1) segment split from APP13 offsets (reader.c:1167-1232)
                 base = scan_data_start
-                off = np.asarray(si, np.int64)
                 starts_ = base + off[:-1]
                 # strip the trailing RST marker from each but last segment
                 ends_ = base + off[1:] - 2
