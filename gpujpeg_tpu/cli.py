@@ -295,6 +295,20 @@ def main(argv: Optional[list] = None) -> int:
 
     args = build_argparser().parse_args(argv)
 
+    # leveled logging like the reference's -v/-b tiers
+    # (gpujpeg_common.h:162-169): -vv = INFO, -vvv or -b = DEBUG
+    # (DEBUG2-depth dumps: DQT/DHT/SOF contents, allocation report)
+    import logging
+
+    lvl = logging.WARNING
+    if getattr(args, "debug", False) or args.verbose >= 3:
+        lvl = logging.DEBUG
+    elif args.verbose >= 2:
+        lvl = logging.INFO
+    logging.basicConfig(stream=sys.stderr,
+                        format="%(levelname)s %(name)s: %(message)s")
+    logging.getLogger("gpujpeg_tpu").setLevel(lvl)
+
     if args.version:
         print(f"tpujpegtool {__version__} (gpujpeg_tpu)")
         return 0

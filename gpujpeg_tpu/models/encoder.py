@@ -663,6 +663,34 @@ def grown_caps(geo: Geometry, caps: Caps, need_pack: np.ndarray,
     return Caps(pack=pack, z_cap=z_cap)
 
 
+def _log_allocation(geo: Geometry, caps) -> None:
+    """Allocation report at INFO (the reference's VERBOSE allocation
+    summary, gpujpeg_common.c:874-897): per-component geometry and the
+    device buffer sizes the compiled pipeline will hold."""
+    import logging
+
+    log = logging.getLogger("gpujpeg_tpu")
+    if not log.isEnabledFor(logging.INFO):
+        return
+    pi = geo.param_image
+    raw = pi.height * pi.width * geo.comp_count
+    planes = sum(c.data_height * c.data_width for c in geo.components)
+    w_out = getattr(caps, "w_out", None)
+    if w_out is None:
+        pack = getattr(caps, "pack", ())
+        w_out = pack[-1] if pack else 0
+    rows = geo.segment_count * int(w_out) * 4
+    log.info(
+        "allocation %dx%d: raw %.1f MB, packed planes %.1f MB, "
+        "entropy rows %.1f MB (%d segments x %d words), caps=%s",
+        pi.width, pi.height, raw / 1e6, planes / 1e6, rows / 1e6,
+        geo.segment_count, int(w_out), caps)
+    for c in geo.components:
+        log.info("  comp %d: %dx%d data %dx%d, %d segments x %d MCUs",
+                 c.index, c.width, c.height, c.data_width, c.data_height,
+                 c.segment_count, c.segment_mcu_count)
+
+
 def grown_caps_for(geo: Geometry, caps, needs):
     """Grow any caps flavor so the realized needs fit — the shared
     overflow step of the convergence loop (encode_to_device) and the
@@ -1040,6 +1068,7 @@ class Encoder:
         if caps is None:
             caps = _initial_caps_for(geo)
             self._caps[geo] = caps
+            _log_allocation(geo, caps)
         x = jnp.asarray(image)
 
         if not check:

@@ -247,6 +247,12 @@ def parse(data: bytes) -> ParsedStream:
                 ps.quant_tables[idx] = np.frombuffer(
                     bytes(body[off + 1:off + 65]), dtype=np.uint8
                 ).astype(np.int32)
+                if log.isEnabledFor(logging.DEBUG):
+                    # DEBUG2 table dump (gpujpeg_reader.c:725-728)
+                    rows = ps.quant_tables[idx].reshape(8, 8)
+                    log.debug("DQT table %d (zig-zag):\n%s", idx,
+                              "\n".join(" ".join(f"{v:3d}" for v in r)
+                                         for r in rows))
                 off += 65
         elif marker in (markers.SOF0, markers.SOF1):
             precision = body[0]
@@ -262,6 +268,10 @@ def parse(data: bytes) -> ParsedStream:
                 ps.comp_ids.append(cid)
                 ps.sampling.append((samp >> 4, samp & 0x0F))
                 ps.quant_map.append(tq)
+                log.debug("SOF0 comp %d: id=%d sampling=%dx%d qtable=%d",
+                          i, cid, samp >> 4, samp & 0x0F, tq)
+            log.debug("SOF0: %dx%d, %d components, 8-bit",
+                      ps.width, ps.height, ps.comp_count)
         elif marker in (markers.SOF2, markers.SOF3, markers.SOF5,
                         markers.SOF6, markers.SOF7, markers.SOF9,
                         markers.SOF10, markers.SOF11, markers.SOF13,
@@ -282,6 +292,13 @@ def parse(data: bytes) -> ParsedStream:
                     bytes(body[off + 17:off + 17 + nval]), np.uint8
                 ).astype(np.int32)
                 (ps.huff_dc if tc == 0 else ps.huff_ac)[th] = (bits, vals)
+                if log.isEnabledFor(logging.DEBUG):
+                    # DEBUG2 Huffman dump (gpujpeg_reader.c:888-911)
+                    log.debug(
+                        "DHT %s table %d: bits=%s\nvalues=%s",
+                        "DC" if tc == 0 else "AC", th,
+                        " ".join(str(int(b)) for b in bits[1:]),
+                        " ".join(f"{int(v):02x}" for v in vals))
                 off += 17 + nval
         elif marker == markers.DRI:
             ri = _u16(body, 0)
