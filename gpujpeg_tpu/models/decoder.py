@@ -435,6 +435,19 @@ def deckernel_mode() -> str:
         return "off"
 
 
+def _bswap32(w):
+    """Big-endian word semantics from host-order packed rows (traced;
+    fuses into the consuming program)."""
+    w = w.astype(jnp.uint32)
+    return ((w >> 24) | ((w >> 8) & jnp.uint32(0xFF00))
+            | ((w << 8) & jnp.uint32(0xFF0000)) | (w << 24))
+
+
+@jax.jit
+def _bswap32_dev(w):
+    return _bswap32(w)
+
+
 class _StreamPlan:
     """Static decode plan for one (geometry, table-set) combination."""
 
@@ -907,10 +920,11 @@ class Decoder:
         self.stats.duration_stream = (t1 - t0) * 1000.0
         plan = self._plan_for(geo, ps)
         if plan is None:
-            return self._decode_legacy(ps, geo, words_np, nbits, out_pi)
+            return self._decode_legacy(ps, geo, words_np.byteswap(),
+                                       nbits, out_pi)
         bps = plan.bps
 
-        words = jnp.asarray(words_np)
+        words = _bswap32_dev(jnp.asarray(words_np))
         nbits_d = jnp.asarray(nbits)
         blocks_per_seg = jnp.asarray(
             plan.blk_valid.reshape(nseg, bps).sum(axis=1).astype(np.int32))
@@ -1298,6 +1312,7 @@ class Decoder:
         # returned (tiny) so batch/pipelined drivers can detect
         # capacity overflow on denser-than-example streams.
         def fn(words, nbits_d):
+            words = _bswap32(words)
             if ranges_c is not None:
                 parts = []
                 for (lo, hi, cls), wc in zip(ranges_c, wcs):

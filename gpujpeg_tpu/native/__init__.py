@@ -150,7 +150,10 @@ def unstuff_rows(data: np.ndarray, ranges, row_words: int):
     data = np.ascontiguousarray(data)
     L.gj_unstuff_rows(_ptr(data), nseg, _ptr(starts), _ptr(ends),
                       _ptr(mat), row_words, _ptr(out_bytes))
-    words = mat.view(">u4").astype(np.uint32)
+    # host-order view (zero-copy): stream byte k = byte k of the word;
+    # device pipelines byteswap on ingestion (a numpy ">u4" astype here
+    # cost ~4 ms per 8K frame on the host)
+    words = mat.view(np.uint32)
     return words, (out_bytes * 8).astype(np.int32)
 
 

@@ -22,8 +22,12 @@ def pack_segments_matrix(data: np.ndarray,
             (stuffed); a list of pairs is also accepted
     max_words: row width in 32-bit words (unstuffed payload must fit)
 
-    Returns (words, nbits): (nseg, max_words+1) uint32 big-endian-packed
-    rows (+1 guard word) and per-segment unstuffed bit counts.
+    Returns (words, nbits): (nseg, max_words+1) uint32 rows (+1 guard
+    word) and per-segment unstuffed bit counts.  Words are HOST-ORDER
+    views of the stream bytes (byte k of the stream is byte k of the
+    word); the device pipelines byteswap on ingestion, where the 4-op
+    swap is ~free (the host-side numpy byteswap cost ~4 ms per 8K
+    frame).
     """
     from .. import native
 
@@ -64,5 +68,5 @@ def pack_segments_matrix(data: np.ndarray,
     # per-seg unstuffed byte counts
     sb = np.bincount(seg_of[keep], minlength=nseg).astype(np.int64)
     nbits = (sb * 8).astype(np.int32)
-    words = np.ascontiguousarray(mat).view(">u4").astype(np.uint32)
+    words = np.ascontiguousarray(mat).view(np.uint32)
     return words, nbits

@@ -60,9 +60,10 @@ def test_scan_split_and_unstuff():
 
     words, nbits = native.unstuff_rows(data, segs, row_words=2)
     assert nbits.tolist() == [3 * 8, 2 * 8]
-    b0 = words[0].astype(">u4").tobytes()
+    # host-order contract: stream byte k IS byte k of the row
+    b0 = words[0].tobytes()
     assert b0[:3] == bytes([0x12, 0xFF, 0x34])
-    b1 = words[1].astype(">u4").tobytes()
+    b1 = words[1].tobytes()
     assert b1[:2] == bytes([0x56, 0x78])
 
 
