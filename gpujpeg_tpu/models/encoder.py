@@ -691,6 +691,33 @@ def _log_allocation(geo: Geometry, caps) -> None:
                  c.segment_count, c.segment_mcu_count)
 
 
+def tightened_mega_caps(geo: Geometry, caps, needs):
+    """One-time shrink-to-fit for MegaCaps after a legal frame: the exact
+    level maxima may admit a deeper compaction schedule, and the initial
+    worst-case-ish w_out is usually far above the realized row size
+    (every extra word costs HBM on the rows transpose + host fetch, and
+    shallow schedules cost merge-tree time — measured 16.1 vs 12.1 ms at
+    8K between compact=(1,) w_out=150 and compact=(1,3,5,6) w_out=26).
+    Returns new caps, or None if no tightening applies.  x1.3 content
+    margin, x1.6 hysteresis; the growth protocol still covers denser
+    future frames."""
+    if not isinstance(caps, MegaCaps):
+        return None
+    w_need = -(-int(needs[-1]) // 4) + 2
+    C2, D = mega_geometry(geo)
+    best = derive_mega_schedule(needs[:D], C2, w_need)
+    w_fit = max(-(-int(needs[D - 1]) // 32), w_need)
+    w_tgt = int(w_fit * 1.3) + (caps.z_cap + 2 + 3) // 4 + 1
+    shrink = caps.w_out > int(w_tgt * 1.6)
+    if len(best) > len(caps.compact) or shrink:
+        return dataclasses.replace(
+            caps,
+            compact=(best if len(best) > len(caps.compact)
+                     else caps.compact),
+            w_out=min(caps.w_out, w_tgt))
+    return None
+
+
 def grown_caps_for(geo: Geometry, caps, needs):
     """Grow any caps flavor so the realized needs fit — the shared
     overflow step of the convergence loop (encode_to_device) and the
@@ -1095,33 +1122,15 @@ class Encoder:
                 from ..ops import fusedpack
 
                 if caps_ok_for(geo, caps, needs):
-                    # one-time tightening: the first legal frame's exact
-                    # level maxima may admit a more aggressive schedule,
-                    # and the initial worst-case-ish w_out is usually
-                    # far above the realized row size — every extra word
-                    # costs HBM on the rows transpose + host fetch, so
-                    # shrink-to-fit (x1.3 content margin, x1.6
-                    # hysteresis; the growth protocol still covers
-                    # denser future frames)
-                    w_need = -(-int(needs[-1]) // 4) + 2
-                    C2, D = mega_geometry(geo)
-                    best = derive_mega_schedule(needs[:D], C2, w_need)
-                    w_fit = max(-(-int(needs[D - 1]) // 32), w_need)
-                    w_tgt = int(w_fit * 1.3) + (caps.z_cap + 2 + 3) // 4 \
-                        + 1
-                    shrink = caps.w_out > int(w_tgt * 1.6)
-                    if (len(best) > len(caps.compact) or shrink) \
-                            and not getattr(self, "_mega_tight", {}) \
-                            .get(geo):
+                    # one-time shrink-to-fit (see tightened_mega_caps)
+                    if not getattr(self, "_mega_tight", {}).get(geo):
                         self._mega_tight = getattr(self, "_mega_tight", {})
                         self._mega_tight[geo] = True
-                        caps = dataclasses.replace(
-                            caps,
-                            compact=(best if len(best) > len(caps.compact)
-                                     else caps.compact),
-                            w_out=min(caps.w_out, w_tgt))
-                        self._caps[geo] = caps
-                        continue
+                        tight = tightened_mega_caps(geo, caps, needs)
+                        if tight is not None:
+                            caps = tight
+                            self._caps[geo] = caps
+                            continue
                     return geo, res, meta
                 if int(needs[-2]) > 250:
                     caps = initial_caps(geo)

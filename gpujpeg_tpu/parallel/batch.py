@@ -199,6 +199,7 @@ class BatchEncoder:
             if isinstance(caps, enc_mod.FusedCaps):
                 caps = enc_mod.initial_caps(geo_l)
         self.caps = caps
+        self._tightened = not isinstance(caps, enc_mod.MegaCaps)
         self._build()
         self.n_seg = n_seg
 
@@ -220,6 +221,18 @@ class BatchEncoder:
             rows, row_bytes, needs = (np.asarray(r) for r in res)
             need_vec = needs.reshape(-1, needs.shape[-1]).max(axis=0)
             if enc_mod.caps_ok_for(self.geo_local, self.caps, need_vec):
+                if not self._tightened:
+                    # one-time shrink-to-fit, like the single-chip
+                    # session (grown caps with a shallow compaction
+                    # schedule cost ~4 ms/frame at 8K); the loop
+                    # re-validates the tightened run
+                    self._tightened = True
+                    tight = enc_mod.tightened_mega_caps(
+                        self.geo_local, self.caps, need_vec)
+                    if tight is not None:
+                        self.caps = tight
+                        self._build()
+                        continue
                 break
             self.caps = enc_mod.grown_caps_for(self.geo_local, self.caps,
                                                need_vec)
