@@ -562,7 +562,10 @@ class _StreamPlan:
         the loop state carries a bps-sized tuple of (8, C_tile) planes,
         so huge restart intervals would blow VMEM / unroll cost)."""
         if ((self.kernel_consts is None and self.generic is None)
-                or W > 64 or self.bps > 64):
+                or W > 80 or self.bps > 64):
+            # W cap: the per-step refill word-select chain scales with W
+            # and the (W*8, C_tile) window must fit VMEM; 80 covers the
+            # densest Q100 content at 4 blocks/segment (64+guard)
             return None
         pats = None
         if self.luma_patterns is not None:

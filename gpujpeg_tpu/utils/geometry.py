@@ -324,9 +324,10 @@ def suggest_restart_interval(
     interval restores the kernel path for ~1% extra marker overhead.
     """
     blocks = 8                          # blocks per segment target
-    if quality >= 98:
-        blocks = 2
-    elif quality >= 93:
+    if quality >= 93:
+        # 4 (not 2): Q100 content still fits the W <= 64 scan window at
+        # 4 blocks/segment, and halving further doubles the per-segment
+        # host-prep cost (measured 85 ms host at 8K Q100 with rst=2)
         blocks = 4
     if not interleaved:
         return blocks                   # blocks (== MCUs) per segment
