@@ -600,6 +600,85 @@ def make_rows_xbd_impl(geo: Geometry, pre=None):
     return fn, infos
 
 
+def mega_il_supported(geo: Geometry) -> bool:
+    """Interleaved megakernel eligibility: one scan, all components at
+    1x1 sampling (MCU raster == block raster, so the per-component
+    packed-plane relayout of the non-interleaved feed applies
+    unchanged), tuned tables, <= 2 table classes, segments tiling MCU
+    rows exactly."""
+    if not geo.interleaved:
+        return False
+    if getattr(geo.param, "huffman_tables", "tuned") != "tuned":
+        return False
+    if any(c.samp_h != geo.max_h or c.samp_v != geo.max_v
+           for c in geo.components):
+        return False
+    if any(c.table_index > 1 for c in geo.components):
+        return False
+    rst = geo.segment_mcu_count
+    S = geo.segment_count
+    if S * rst != -(-geo.mcu_count // rst) * rst:
+        return False
+    for c in geo.components:
+        bpr = c.data_width // 8
+        if bpr % rst or S * rst != c.mcu_count:
+            return False
+    return True
+
+
+def make_rows_xbd_il_impl(geo: Geometry, pre=None):
+    """Interleaved feed for the entropy megakernel: ONE (C0/4, S) packed
+    u32 array whose sublane order interleaves components at MCU
+    granularity — sublane (m*bpm + slot)*16 + (r*2 + h) holds word h of
+    row r of MCU m's slot-th block (the device block list of
+    gpujpeg_common.c:1031-1088 as layout math, interleaved flavor).
+
+    Returns (fn, info): info carries valid (B0, S) i32, the per-slot
+    dc/ac/quant class patterns, rst markers, and the dct key."""
+    assert mega_il_supported(geo)
+    rst = geo.segment_mcu_count
+    S = geo.segment_count
+    bpm = geo.blocks_per_mcu
+    use_bf16 = dct._use_split_bf16()
+    vm = (np.arange(S * rst).reshape(S, rst) < geo.mcu_count)
+    valid = np.repeat(vm[:, :, None], bpm, axis=2) \
+        .reshape(S, rst * bpm).T.astype(np.int32)
+    q_pat = tuple(int(c.table_index) for c in geo.components)
+    dc_pat = tuple(c.table_index == 0 for c in geo.components)
+    ac_pat = dc_pat
+    info = dict(valid=valid, q_pat=q_pat, dc_pat=dc_pat, ac_pat=ac_pat,
+                rst=np.asarray(geo.rst_marker), S=S,
+                quality=geo.param.quality, use_bf16=use_bf16)
+    interp = fused_mode() == "interpret"
+
+    def pack_lanes(p):
+        return jax.lax.bitcast_convert_type(
+            p.reshape(p.shape[0], -1, 4), jnp.uint32)
+
+    def fn(raw):
+        from ..ops import prepost_kernel
+
+        raw = apply_pre_transform(raw, pre)
+        packed = prepost_kernel.preprocess_packed(
+            raw, geo, geo.param_image, interpret=interp) \
+            if raw.ndim == 3 else None
+        planes = None if packed is not None \
+            else sample.preprocess(raw, geo, geo.param_image)
+        per_comp = []
+        for c in geo.components:
+            bpr = c.data_width // 8
+            nbh, nsr = c.data_height // 8, bpr // rst
+            p32 = (packed[c.index] if packed is not None
+                   else pack_lanes(planes[c.index]))
+            x = p32.reshape(nbh, 8, nsr, rst, 2) \
+                .transpose(3, 1, 4, 0, 2).reshape(rst, 16, nbh * nsr)
+            per_comp.append(x)
+        # interleave components at MCU granularity on the sublane axis
+        return jnp.stack(per_comp, axis=1).reshape(rst * bpm * 16, S)
+
+    return fn, info
+
+
 def initial_fused_caps(geo: Geometry,
                        bits_per_token: float = 6.0) -> FusedCaps:
     from ..ops import fusedpack
@@ -767,6 +846,30 @@ def make_full_encode_fn(geo: Geometry, caps: Caps, pre=None):
     mega = isinstance(caps, MegaCaps)
     fused = isinstance(caps, FusedCaps)
     pairs = bool(fused and caps.l0 == 1)
+    if mega and geo.interleaved:
+        from ..ops import fusedpack
+
+        interp = fused_mode() == "interpret"
+        xbd_il, il_info = make_rows_xbd_il_impl(geo, pre)
+        consts = tables.entropy_kernel_consts(geo.param.quality)
+
+        def fn(raw):
+            # ONE megakernel call covers the whole interleaved scan
+            # (per-slot class/quant patterns are static sublane masks)
+            xbd = xbd_il(raw)
+            r, ob, nd = fusedpack.entropy_fused_u8_il(
+                xbd, jnp.asarray(il_info["valid"]), il_info["rst"],
+                z_cap=caps.z_cap, w_out=caps.w_out, consts=consts,
+                quality=il_info["quality"], q_pat=il_info["q_pat"],
+                dc_pat=il_info["dc_pat"], ac_pat=il_info["ac_pat"],
+                use_bf16=il_info["use_bf16"], interpret=interp,
+                compact_after=caps.compact)
+            meta = jnp.concatenate([nd, jnp.sum(ob)[None]]) \
+                .astype(jnp.int32)
+            return {"rows": (r,), "row_bytes": ob, "meta": meta}
+
+        fn._n_needs = caps.n_needs
+        return fn
     if mega:
         from ..ops import fusedpack
 
@@ -844,6 +947,27 @@ def make_phase_fn(geo: Geometry, caps, pre=None, phase: str = "pre"):
     encoder times these as separate dispatches when perf_stats is on and
     reports the deltas as phase durations."""
     mega = isinstance(caps, MegaCaps)
+    if mega and geo.interleaved:
+        from ..ops import fusedpack
+
+        interp = fused_mode() == "interpret"
+        xbd_il, il_info = make_rows_xbd_il_impl(geo, pre)
+        consts = tables.entropy_kernel_consts(geo.param.quality)
+
+        def fn(raw):
+            xbd = xbd_il(raw)
+            if phase == "pre":
+                return xbd
+            _r, ob, _nd = fusedpack.entropy_fused_u8_il(
+                xbd, jnp.asarray(il_info["valid"]), il_info["rst"],
+                z_cap=caps.z_cap, w_out=caps.w_out, consts=consts,
+                quality=il_info["quality"], q_pat=il_info["q_pat"],
+                dc_pat=il_info["dc_pat"], ac_pat=il_info["ac_pat"],
+                use_bf16=il_info["use_bf16"], interpret=interp,
+                compact_after=caps.compact, stop_after="dct")
+            return ob
+
+        return fn
     if mega:
         from ..ops import fusedpack
 
@@ -906,7 +1030,7 @@ def _initial_caps_for(geo: Geometry):
     mode = fused_mode()
     if mode == "off":
         return initial_caps(geo)
-    if mega_mode() and mega_supported(geo):
+    if mega_mode() and (mega_supported(geo) or mega_il_supported(geo)):
         return initial_mega_caps(geo)
     return initial_fused_caps(geo)
 

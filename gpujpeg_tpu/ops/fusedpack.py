@@ -461,7 +461,7 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
                          compact_after=(), dct_bias=None,
                          dct_nmat: int = 0, stop_after=None,
                          Rall: int = 0, luma_const=None,
-                         xq_in: bool = False):
+                         xq_in: bool = False, il=None, dct_ncyc: int = 1):
     def _early_out(val, out_ref, ob_ref, needs_ref):
         # profiling stub: consume `val` with a real reduction so nothing
         # upstream is dead-code-eliminated, then return
@@ -504,31 +504,40 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
         xi = ((w4 >> (ksub * 8).astype(jnp.uint32))
               & jnp.uint32(0xFF)).astype(jnp.int32)
         P = mats[0].shape[0]
+        # matrices cycle per 128-sublane slice: 1 (pair) for uniform
+        # single-component calls; lcm(bpm, 2)/2 when interleaved block
+        # classes alternate within the slice pattern
+        ncyc = dct_ncyc
+        f32 = dct_nmat == ncyc       # else [hi0..hi_{n-1}, lo0..lo_{n-1}]
 
         def dct_slices(xb, dot1):
-            ys = [dot1(mats, xb[p:p + P]) for p in range(0, C, P)]
+            ys = [dot1(mats, (p // P) % ncyc, xb[p:p + P])
+                  for p in range(0, C, P)]
             return jnp.concatenate(ys, axis=0) if len(ys) > 1 else ys[0]
 
-        if dct_nmat == 1:      # exact-f32 path (CPU/interpret parity)
+        if f32:                # exact-f32 path (CPU/interpret parity)
             y = dct_slices(
                 xi.astype(jnp.float32),
-                lambda m, xs: jnp.dot(
-                    m[0][:, :], xs, preferred_element_type=jnp.float32,
+                lambda m, k, xs: jnp.dot(
+                    m[k][:, :], xs, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST))
         else:
             y = dct_slices(
                 xi.astype(jnp.float32).astype(jnp.bfloat16),
-                lambda m, xs: (
-                    jnp.dot(m[0][:, :], xs,
+                lambda m, k, xs: (
+                    jnp.dot(m[k][:, :], xs,
                             preferred_element_type=jnp.float32)
-                    + jnp.dot(m[1][:, :], xs,
+                    + jnp.dot(m[ncyc + k][:, :], xs,
                               preferred_element_type=jnp.float32)))
         # bias (the folded -128 level shift) is per-COEFFICIENT-SLOT:
         # rebuild it from python scalars via a select chain on zz
-        # (array closures are not allowed in pallas kernels)
-        zz64 = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) & 63
+        # (array closures are not allowed in pallas kernels).  dct_bias
+        # has one entry per slot over the whole segment row period when
+        # interleaved (64 * bpm entries), else 64.
+        zz64 = jax.lax.broadcasted_iota(jnp.int32, y.shape, 0) \
+            % len(dct_bias)
         bias = jnp.zeros(y.shape, jnp.float32)
-        for z in range(64):
+        for z in range(len(dct_bias)):
             bz = float(dct_bias[z])
             if bz != 0.0:
                 bias = jnp.where(zz64 == z, jnp.float32(bz), bias)
@@ -561,8 +570,11 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
     # the same segment row; restart reset is automatic at row start.
     # Full-shape roll: one sublane roll (0.09 us/tile) beats the one-hot
     # matmul extraction (0.29 us/tile) — elementwise selects are free on
-    # this VPU, data movement is not.
-    pred = jnp.where(sub >= 64, _roll(v, 64), 0)
+    # this VPU, data movement is not.  Interleaved rows predict from the
+    # previous block of the SAME component = bpm blocks back (T.81
+    # F.1.1.5.1 per-component predictors).
+    dc_span = 64 * (il[0] if il is not None else 1)
+    pred = jnp.where(sub >= dc_span, _roll(v, dc_span), 0)
     v = jnp.where(is_dc, v - pred, v)
 
     nz = v != 0
@@ -596,23 +608,50 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
     if stop_after == "runs":
         return _early_out(run16 + size16 + vb, out_ref, ob_ref, needs_ref)
 
-    # per-lane table class; the mega path calls the kernel once per
+    # table class per chain site; the mega path calls the kernel once per
     # component, so luma_const statically picks one constant set and every
-    # chain step drops its class mux (~1/3 of the chain's vector ops)
-    lum = (bool(luma_const) if luma_const is not None
-           else luma_ref[0:1, :] != 0)
+    # chain step drops its class mux (~1/3 of the chain's vector ops).
+    # Interleaved calls derive STATIC per-sublane class masks from the
+    # MCU slot pattern (one extra select per chain step, not per lane).
+    if il is not None:
+        bpm_il, dc_pat, ac_pat, _q_pat = il
 
-    def csel(cl, cc):
-        if isinstance(lum, bool):
-            return jnp.int32(cl if lum else cc)
-        return jnp.where(lum, jnp.int32(cl), jnp.int32(cc))
+        def pat_mask(pat, idx_arr):
+            if all(pat):
+                return True
+            if not any(pat):
+                return False
+            m = jnp.zeros_like(idx_arr) != 0
+            for j in range(bpm_il):
+                if pat[j]:
+                    m = m | (idx_arr % bpm_il == j)
+            return m
 
-    def chain(idx, tl, tc, n, lo: int = 0):
+        lum_ac = pat_mask(ac_pat, sub // 64)
+        lum_dc = pat_mask(
+            dc_pat, jax.lax.broadcasted_iota(jnp.int32, (NB, R), 0))
+    else:
+        lum_ac = lum_dc = (bool(luma_const) if luma_const is not None
+                           else luma_ref[0:1, :] != 0)
+
+    def make_csel(lum):
+        def csel(cl, cc):
+            if isinstance(lum, bool):
+                return jnp.int32(cl if lum else cc)
+            return jnp.where(lum, jnp.int32(cl), jnp.int32(cc))
+
+        return csel
+
+    csel = make_csel(lum_ac)
+    csel_dc = make_csel(lum_dc)
+
+    def chain(idx, tl, tc, n, lo: int = 0, sel=None):
         # steps below lo are either impossible values of idx or map to
         # entry 0 (the zeros init) — statically skipped
+        sel = sel or csel
         e = jnp.zeros_like(idx)
         for s in range(lo, n):
-            e = jnp.where(idx == s, csel(tl[s], tc[s]), e)
+            e = jnp.where(idx == s, sel(tl[s], tc[s]), e)
         return e
 
     def chain_bin16(idx, tl, tc):
@@ -654,7 +693,8 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
     # DC entries live only at zz == 0: run the 12-step chain on the
     # extracted (NB, R) subgrid (1/64th the vector work) and broadcast
     size_dc = extract(jnp.minimum(size, 11).astype(jnp.float32), 0)
-    dce = jnp.repeat(chain(size_dc, dcL, dcC, 12), 64, axis=0)
+    dce = jnp.repeat(chain(size_dc, dcL, dcC, 12, sel=csel_dc), 64,
+                     axis=0)
     entry = jnp.where(is_dc, dce, entry)
 
     clen = entry >> 16
@@ -698,7 +738,7 @@ def _entropy_kernel_body(c_ref, *refs, C: int, B: int, D: int,
 def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
                         R_tile: int = 128, interpret: bool = False,
                         compact_after=(), dct=None, stop_after=None,
-                        luma_const=None, xq: bool = False):
+                        luma_const=None, xq: bool = False, il=None):
     """(coefs_t (C, Rp) i16 — or u8 sample patches when dct is given,
     valid_t (B, Rp) i32, luma_t (1, Rp) i32, rst (1, Rp) i32) ->
     (out_t (W_out, Rp) u32, out_bytes (1, Rp) i32, needs (D+2,) i32).
@@ -710,18 +750,27 @@ def make_entropy_kernel(C: int, W_out: int, z_cap: int, B: int, consts,
     (see _entropy_kernel_body xq_in)."""
     assert C & (C - 1) == 0 and C >= 64
     assert not xq or (dct is not None and C == 512)
+    assert il is None or (dct is not None and not xq)
     D = C.bit_length() - 1
     mats = ()
     dct_bias = None
+    dct_ncyc = 1
     if dct is not None:
         bd_hi, bd_lo, bias = dct
-        mats = (bd_hi,) if bd_lo is None else (bd_hi, bd_lo)
-        dct_bias = tuple(float(b) for b in np.asarray(bias)[:64])
+        hi_list = (tuple(bd_hi) if isinstance(bd_hi, (list, tuple))
+                   else (bd_hi,))
+        lo_list = (() if bd_lo is None
+                   else (tuple(bd_lo) if isinstance(bd_lo, (list, tuple))
+                         else (bd_lo,)))
+        mats = hi_list + lo_list
+        dct_ncyc = len(hi_list)
+        period = 64 * (il[0] if il is not None else 1)
+        dct_bias = tuple(float(b) for b in np.asarray(bias)[:period])
     kernel = functools.partial(
         _entropy_kernel_body, C=C, B=B, D=D, W_out=W_out, W_stuff=W_out,
         z_cap=z_cap, consts=consts, compact_after=tuple(compact_after),
         dct_bias=dct_bias, dct_nmat=len(mats), stop_after=stop_after,
-        luma_const=luma_const, xq_in=xq)
+        luma_const=luma_const, xq_in=xq, il=il, dct_ncyc=dct_ncyc)
 
     C_in = C // 4 if dct is not None else C    # packed u32 when fused DCT
 
@@ -816,6 +865,91 @@ def _dct_consts(dct_key, C: int):
     m = np.kron(np.eye(nb, dtype=np.float64),
                 np.asarray(Mq).T).astype(np.float32)
     return (m, None, bias_t)
+
+
+@functools.lru_cache(maxsize=16)
+def _dct_consts_il(quality: int, q_pat: tuple, use_bf16: bool):
+    """Per-slice-cycle DCT matrices for INTERLEAVED segment rows.
+
+    q_pat: quant-table class per MCU block slot (len = blocks_per_mcu).
+    Slice k of 128 sublanes covers blocks (2k, 2k+1) mod bpm, whose
+    classes may differ — each cycle position gets a block-diagonal of
+    the two classes' fused matrices (same math as _dct_consts, classes
+    mixed).  Returns (hi_list, lo_list|None, bias_per) with bias_per of
+    length 64*bpm (one folded level-shift entry per slot in the MCU)."""
+    from ..utils import tables as _t
+
+    bpm = len(q_pat)
+    Ms, biases = [], []
+    for ti in (0, 1):
+        qtab = _t.quant_table_zz(ti == 0, quality)
+        Mq, b = _t.fdct_fused_matrix(np.asarray(qtab))
+        Ms.append(np.asarray(Mq))
+        biases.append(np.asarray(b, np.float32))
+    ncyc = int(np.lcm(bpm, 2) // 2)
+
+    def bdiag(a, b):
+        z = np.zeros((128, 128), np.float32)
+        z[:64, :64] = a
+        z[64:, 64:] = b
+        return z
+
+    his, los = [], []
+    for k in range(ncyc):
+        tis = [int(q_pat[(2 * k) % bpm]), int(q_pat[(2 * k + 1) % bpm])]
+        if use_bf16:
+            hi_b, lo_b = [], []
+            for ti in tis:
+                M = Ms[ti].astype(np.float32)
+                hi = np.asarray(M.astype(jnp.bfloat16)).astype(np.float32)
+                hi_b.append(hi.T)
+                lo_b.append((M - hi).T)
+            his.append(bdiag(*hi_b).astype(jnp.bfloat16))
+            los.append(bdiag(*lo_b).astype(jnp.bfloat16))
+        else:
+            his.append(bdiag(*(np.asarray(Ms[ti]).T.astype(np.float32)
+                               for ti in tis)))
+    bias_per = np.concatenate([biases[int(q_pat[s])] for s in range(bpm)])
+    return (tuple(his), tuple(los) if use_bf16 else None,
+            bias_per.astype(np.float32))
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_entropy_kernel_il(C, W_out, z_cap, B, consts, R_tile,
+                              interpret, compact_after, quality,
+                              q_pat, dc_pat, ac_pat, use_bf16,
+                              stop_after=None):
+    return make_entropy_kernel(
+        C, W_out, z_cap, B, consts, R_tile, interpret, compact_after,
+        dct=_dct_consts_il(quality, q_pat, use_bf16),
+        stop_after=stop_after, il=(len(q_pat), dc_pat, ac_pat, q_pat))
+
+
+def entropy_fused_u8_il(xbd, valid_t, rst_marker, z_cap: int, w_out: int,
+                        consts, quality: int, q_pat, dc_pat, ac_pat,
+                        use_bf16: bool, interpret: bool = False,
+                        compact_after=(), stop_after=None):
+    """entropy_fused_u8 for INTERLEAVED scans: xbd is the (C0/4, R)
+    packed sample feed in MCU-interleaved block order (C0 = rst * bpm *
+    64); per-slot table/quant classes follow the MCU patterns.  One call
+    covers the whole scan (the non-interleaved path calls per
+    component)."""
+    C4, R = xbd.shape
+    C0 = C4 * 4
+    C = pow2_ge(max(C0, 64))
+    B = C // 64
+    if C != C0:
+        xbd = jnp.pad(xbd, ((0, (C - C0) // 4), (0, 0)))
+    if B != valid_t.shape[0]:
+        valid_t = jnp.pad(valid_t, ((0, B - valid_t.shape[0]), (0, 0)))
+    rst = jnp.asarray(rst_marker).astype(jnp.int32).reshape(1, R)
+    fn = _cached_entropy_kernel_il(
+        C, w_out, z_cap, B, consts, _r_tile(C), interpret,
+        tuple(compact_after), quality, tuple(q_pat), tuple(dc_pat),
+        tuple(ac_pat), use_bf16, stop_after)
+    luma_t = jnp.ones((1, R), jnp.int32)      # unused in il mode
+    out_t, ob, needs = fn(xbd, valid_t, luma_t, rst)
+    return out_t.T, ob, needs
 
 
 @functools.lru_cache(maxsize=64)

@@ -161,3 +161,29 @@ def test_mega_encoder_xq_layout_end_to_end(rng):
     finally:
         os.environ.pop("GPUJPEG_TPU_FUSED", None)
         os.environ.pop("GPUJPEG_TPU_MEGA", None)
+
+
+def test_mega_interleaved_byte_identical(monkeypatch, rng):
+    """The INTERLEAVED entropy megakernel (one call per scan, static
+    per-slot class/quant masks, per-slice DCT matrix cycle) must produce
+    byte-identical streams to the XLA tree path."""
+    from gpujpeg_tpu import Encoder, Parameters
+
+    cases = [
+        ((40, 48, 3), Parameters(quality=75, restart_interval=-1,
+                                 interleaved=True)),
+        ((40, 48, 3), Parameters(quality=100, restart_interval=2,
+                                 interleaved=True)),
+        ((33, 41, 3), Parameters(quality=85, restart_interval=2,
+                                 interleaved=True)),
+        ((32, 40, 4), Parameters(quality=85, restart_interval=2,
+                                 interleaved=True, comp_count=4)),
+    ]
+    for shape, p in cases:
+        img = rng.integers(0, 256, shape, np.uint8)
+        monkeypatch.delenv("GPUJPEG_TPU_FUSED", raising=False)
+        ref = bytes(Encoder().encode(img, p))
+        monkeypatch.setenv("GPUJPEG_TPU_FUSED", "interpret")
+        got = bytes(Encoder().encode(img, p))
+        monkeypatch.delenv("GPUJPEG_TPU_FUSED", raising=False)
+        assert got == ref, (shape, p.quality)
