@@ -130,6 +130,7 @@ def host_prep_ms(stream, reps=5):
 
     dec = Decoder()
     best = float("inf")
+    out = None
     for _ in range(reps + 1):
         t0 = time.perf_counter()
         ps = reader.parse(stream)
@@ -138,9 +139,13 @@ def host_prep_ms(stream, reps=5):
         geo = get_geometry(param, out_pi.with_(width_padding=0))
         ranges = dec._segment_ranges(ps, geo)
         mw = _bucket((int((ranges[:, 1] - ranges[:, 0]).max()) + 3) // 4)
-        segprep.pack_segments_matrix(ps.data, ranges, mw)
+        segprep.pack_segments_matrix(ps.data, ranges, mw, out=out)
         dt = time.perf_counter() - t0
         best = min(best, dt)    # first rep pays one-time costs
+        # session steady state: the Decoder reuses its staging buffer
+        # (_words_scratch), so later reps measure with warm pages
+        if out is None:
+            out = np.empty((len(ranges), (mw + 1) * 4), np.uint8)
     return best * 1000.0
 
 
@@ -172,6 +177,40 @@ def bench_decode(name, stream, matrix):
     log(f"[bench] {name}: {dt:.2f} ms device + {host_ms:.1f} ms host "
         f"= {dt + host_ms:.1f} ms total (setup {time.time()-t0:.0f}s)")
     return dt
+
+
+def bench_pipelined(enc, geo, frame, matrix, n_frames=6):
+    """Wall-clock per-frame cost of encode() vs encode_pipelined() on
+    identical frames — the overlap evidence for the double-buffered
+    driver (VERDICT r3 weak item 7).  Both numbers INCLUDE host
+    assembly and the device->host row fetch, so they are end-to-end
+    wall times (the tunnel inflates the fetch vs a real PCIe host;
+    the DELTA between the two columns is the overlap win)."""
+    import jax
+
+    from gpujpeg_tpu import Parameters
+
+    t0 = time.time()
+    param = Parameters(quality=75, restart_interval=-1)
+    frames = [frame] * n_frames
+    # warm both paths (compile + converge)
+    _ = enc.encode(frame, param)
+    list(enc.encode_pipelined(frames[:2], param))
+    t1 = time.perf_counter()
+    for f in frames:
+        _ = enc.encode(f, param)
+    seq_ms = (time.perf_counter() - t1) / n_frames * 1000.0
+    t1 = time.perf_counter()
+    for _s in enc.encode_pipelined(frames, param):
+        pass
+    pipe_ms = (time.perf_counter() - t1) / n_frames * 1000.0
+    matrix["encode_8k_q75_wall"] = {
+        "sequential_ms": round(seq_ms, 2),
+        "pipelined_ms": round(pipe_ms, 2),
+        "overlap_gain_ms": round(seq_ms - pipe_ms, 2),
+        "setup_s": round(time.time() - t0, 1)}
+    log(f"[bench] 8K wall: sequential {seq_ms:.1f} ms, pipelined "
+        f"{pipe_ms:.1f} ms per frame (overlap {seq_ms-pipe_ms:+.1f})")
 
 
 def bench_mesh_anchor(matrix):
@@ -355,6 +394,15 @@ def main():
             save_matrix(matrix)
         except Exception as ex:
             log(f"[bench] interleaved encode FAILED: {ex!r}")
+
+    # pipelined-encode overlap evidence (wall time incl. assembly)
+    if left() > 300:
+        try:
+            frame8k = synth_frame(*SIZES["8k"])
+            bench_pipelined(enc, geo8k, frame8k, matrix)
+            save_matrix(matrix)
+        except Exception as ex:
+            log(f"[bench] pipelined FAILED: {ex!r}")
 
     # 1x1-mesh anchor: the sharded BatchEncoder pipeline on ONE chip —
     # the per-chip ms/frame that multi-chip scaling claims anchor on

@@ -514,8 +514,12 @@ class _StreamPlan:
 
     def kernel_block_fn(self, K: int, interpret: bool, class_const=None):
         """Pallas phase C for K-word block buffers, or None if not
-        applicable (oversized buffers / >2 table sets)."""
-        if K > 16:
+        applicable (oversized buffers / >2 table sets).  The K cap
+        bounds the per-token-step refill select chain (2K selects) and
+        the (K*8, C_tile) VMEM tile; 40 covers the bps == 1 direct
+        path's whole-segment buffers at Q100 density (a 16-word bucket
+        + guard at 4 blocks/segment, 32 + guard at 1)."""
+        if K > 40:
             return None
         if self.kernel_consts is not None:
             ac_l, ac_c, dc_l, dc_c = self.kernel_consts
@@ -711,6 +715,7 @@ class Decoder:
     def __init__(self) -> None:
         self._plans: Dict = {}
         self._split_fns: Dict = {}
+        self._prep_buf: Optional[np.ndarray] = None
         #: opt-in per-phase stats (adds phase-boundary syncs per frame)
         self.perf_stats = False
         self.flipped = False
@@ -871,6 +876,27 @@ class Decoder:
             self._plans[key] = plan
         return plan
 
+    def _words_scratch(self, nseg: int, row_words: int):
+        """Grow-only host staging buffer for the per-frame segment
+        matrix: a fresh np.empty page-faults ~100 MB inside the
+        parallel unstuff at restart_interval 1 (measured +40-90 ms per
+        8K Q100 frame); session reuse keeps the pages warm.  Device
+        backends copy on jnp.asarray and decode_to_device ends with a
+        device fetch (error flags), so the buffer is free again by the
+        next frame; the CPU backend may ALIAS numpy memory in
+        jax.Arrays and gets a fresh buffer instead."""
+        try:
+            if jax.default_backend() == "cpu":
+                return None
+        except Exception:
+            return None
+        need = nseg * row_words * 4
+        buf = self._prep_buf
+        if buf is None or buf.size < need:
+            buf = np.empty(-(-need // (1 << 20)) << 20, np.uint8)
+            self._prep_buf = buf
+        return buf[:need].reshape(nseg, row_words * 4)
+
     def _split_fn(self, bps: int, caps: Tuple[int, ...]):
         key = (bps, caps)
         fn = self._split_fns.get(key)
@@ -895,6 +921,74 @@ class Decoder:
         self.stats.add_frame((t2 - t0) * 1000.0)
         return res
 
+    def _decode_direct(self, plan, geo, ps, words, nbits_d, ranges,
+                       out_pi, t1, kmode):
+        """bps == 1 fast path: one block per restart segment means the
+        packed segment rows ARE the per-block buffers — the boundary
+        scan (phase A) and the buffer split (phase B) vanish, and
+        differential DC is absolute (the predictor resets at every
+        restart marker, T.81 F.1.1.5.1), so DC integration is the
+        identity.  This is what makes very-high-quality decode
+        tractable on a vector machine: the serial token walk per lane
+        drops from bps * tokens-per-block steps to tokens-per-block
+        (the auto restart interval picks interval 1 at quality >= 97 —
+        utils/geometry.suggest_restart_interval; measured 42 -> ~15 ms
+        device at 8K Q100).  Counterpart of the reference's
+        thread-per-segment decoder at its natural segment granularity
+        (gpujpeg_huffman_gpu_decoder.cu:390-536)."""
+        import time
+
+        interp = kmode == "interpret"
+        W = int(words.shape[1])
+        if plan.split_caps is None:
+            plan.split_caps = ()          # bps == 1 has no split levels
+        blen_r = nbits_d[None, :]
+        bva_i = jnp.asarray(plan.blk_valid.astype(np.int32))[None, :]
+        dc_li = jnp.asarray(plan.dc_luma_row.astype(np.int32))[None, :]
+        ac_li = jnp.asarray(plan.ac_luma_row.astype(np.int32))[None, :]
+        qtabs = np.stack([
+            ps.quant_tables[ps.quant_map[c.index]]
+            for c in geo.components
+        ]).astype(np.float32)
+        ranges_c = plan.comp_class_ranges()
+        if ranges_c is not None:
+            cts, errs = [], []
+            for lo, hi, cls in ranges_c:
+                wc = _comp_scan_width(W, ranges, lo, hi)
+                fn_c = plan.kernel_block_fn(wc, interp, cls)
+                ct, e = fn_c(words[lo:hi, :wc].T, blen_r[:, lo:hi],
+                             dc_li[:, lo:hi], ac_li[:, lo:hi],
+                             bva_i[:, lo:hi])
+                cts.append(ct)
+                errs.append(e)
+            coefs_t = jnp.concatenate(cts, axis=1)
+            errC = jnp.concatenate(errs)
+        else:
+            kfn = plan.kernel_block_fn(W, interp)
+            coefs_t, errC = kfn(words.T, blen_r, dc_li, ac_li, bva_i)
+        t_h = None
+        if self.perf_stats:
+            jax.block_until_ready(coefs_t)
+            t_h = time.perf_counter()
+            self.stats.duration_huffman_coder = \
+                (t_h - t1) * 1000.0
+        # bps == 1: differential DC is absolute, _dc_fixup_t would be
+        # an identity cumsum over a length-1 axis — skipped
+        out = _idct_post_t_call(geo, coefs_t, jnp.asarray(qtabs))
+        if t_h is not None:
+            jax.block_until_ready(out)
+            self.stats.duration_dct_quantization = \
+                (time.perf_counter() - t_h) * 1000.0
+            self.stats.duration_preprocessor = 0.0
+        out = self._apply_output_options(out, out_pi)
+        self.stats.duration_in_gpu = (time.perf_counter() - t1) * 1000.0
+        if np.asarray(errC).any():
+            import logging
+
+            logging.getLogger("gpujpeg_tpu").warning(
+                "corrupt segment(s) during Huffman decode")
+        return out
+
     def decode_to_device(self, data: bytes,
                          param_image: Optional[ImageParameters] = None):
         """Decode with the result left on device as a jax.Array — the
@@ -917,8 +1011,9 @@ class Decoder:
         nseg = geo.segment_count
         max_seg_bytes = int((ranges[:, 1] - ranges[:, 0]).max())
         max_words = _bucket((max_seg_bytes + 3) // 4)
-        words_np, nbits = segprep.pack_segments_matrix(ps.data, ranges,
-                                                       max_words)
+        words_np, nbits = segprep.pack_segments_matrix(
+            ps.data, ranges, max_words,
+            out=self._words_scratch(len(ranges), max_words + 1))
         t1 = time.perf_counter()
         self.stats.duration_stream = (t1 - t0) * 1000.0
         plan = self._plan_for(geo, ps)
@@ -932,10 +1027,18 @@ class Decoder:
         blocks_per_seg = jnp.asarray(
             plan.blk_valid.reshape(nseg, bps).sum(axis=1).astype(np.int32))
 
+        kmode = deckernel_mode()
+        if (bps == 1 and not geo.interleaved and kmode != "off"
+                and plan.kernel_block_fn(int(words.shape[1]),
+                                         kmode == "interpret") is not None):
+            # one block per restart segment: phases A and B vanish (the
+            # packed segment rows ARE the per-block buffers)
+            return self._decode_direct(plan, geo, ps, words, nbits_d,
+                                       ranges, out_pi, t1, kmode)
+
         # phase A: block boundaries (class-specialized per-component
         # calls when every component uses one table class — the per-lane
         # luma/chroma muxes in the token core become immediates)
-        kmode = deckernel_mode()
         ranges_c = plan.comp_class_ranges() if kmode != "off" else None
         skfn = (plan.kernel_scan_fn(int(words.shape[1]), nseg,
                                     kmode == "interpret")
@@ -1286,8 +1389,10 @@ class Decoder:
         skfn = (plan.kernel_scan_fn(int(words_np.shape[1]), nseg,
                                     kmode == "interpret")
                 if kmode != "off" else None)
+        # bps == 1 direct mode: no scan/split phases (see _decode_direct)
+        direct = (bps == 1 and not geo.interleaved and kfn is not None)
         ranges_c = (plan.comp_class_ranges()
-                    if kmode != "off" and skfn is not None
+                    if kmode != "off" and (skfn is not None or direct)
                     and kfn is not None else None)
         dc_li = jnp.asarray(plan.dc_luma_row.astype(np.int32))
         ac_li = jnp.asarray(plan.ac_luma_row.astype(np.int32))
@@ -1316,6 +1421,32 @@ class Decoder:
         # capacity overflow on denser-than-example streams.
         def fn(words, nbits_d):
             words = _bswap32(words)
+            if direct:
+                # bps == 1: segment rows are the block buffers; no
+                # boundary scan, no split, no DC integration (absolute
+                # DC at interval 1) — needs is empty (nothing can
+                # overflow a split that does not happen)
+                blen_r = nbits_d[None, :]
+                if ranges_c is not None:
+                    cts = []
+                    for (lo, hi, cls), wc in zip(ranges_c, wcs):
+                        fn_c = plan.kernel_block_fn(
+                            wc, kmode == "interpret", cls)
+                        ct, _e = fn_c(words[lo:hi, :wc].T,
+                                      blen_r[:, lo:hi],
+                                      bdc_i[:, lo:hi], bac_i[:, lo:hi],
+                                      bva_i[:, lo:hi])
+                        cts.append(ct)
+                    coefs_t = jnp.concatenate(cts, axis=1)
+                else:
+                    coefs_t, _e = kfn(words.T, blen_r, bdc_i, bac_i,
+                                      bva_i)
+                needs0 = jnp.zeros((0,), jnp.int32)
+                if idct_fn_t is not None:
+                    return idct_fn_t(coefs_t, qt), needs0
+                coefs = _dc_fixup(coefs_t.T.reshape(nseg, bps, 64),
+                                  comp_pattern)
+                return idct_fn(coefs, qt), needs0
             if ranges_c is not None:
                 parts = []
                 for (lo, hi, cls), wc in zip(ranges_c, wcs):

@@ -133,10 +133,14 @@ def scan_split(data: np.ndarray, start: int, max_segments: int):
     return segs, int(end_pos.value) + start, int(bad.value)
 
 
-def unstuff_rows(data: np.ndarray, ranges, row_words: int):
+def unstuff_rows(data: np.ndarray, ranges, row_words: int, out=None):
     """Unstuff segments into a (nseg, row_words) big-endian u32 matrix.
 
     ranges: (nseg, 2) int64 [start, end) rows (or a list of pairs).
+    out: optional caller-provided (nseg, row_words * 4) uint8 buffer —
+    a fresh np.empty page-faults its ~100 MB inside the parallel fill
+    at restart_interval 1 (measured +40-90 ms per 8K Q100 frame);
+    session buffers keep the pages warm.
     Returns (words, nbits) or None when the native library is missing."""
     L = lib()
     if L is None:
@@ -145,7 +149,11 @@ def unstuff_rows(data: np.ndarray, ranges, row_words: int):
     nseg = len(r)
     starts = np.ascontiguousarray(r[:, 0])
     ends = np.ascontiguousarray(r[:, 1])
-    mat = np.empty((nseg, row_words * 4), np.uint8)
+    if out is not None and out.shape == (nseg, row_words * 4) \
+            and out.dtype == np.uint8 and out.flags.c_contiguous:
+        mat = out
+    else:
+        mat = np.empty((nseg, row_words * 4), np.uint8)
     out_bytes = np.zeros(nseg, np.int32)
     data = np.ascontiguousarray(data)
     L.gj_unstuff_rows(_ptr(data), nseg, _ptr(starts), _ptr(ends),

@@ -94,7 +94,6 @@ void gj_unstuff_rows(const uint8_t* data, int64_t nseg,
 #pragma omp parallel for schedule(dynamic, 256)
     for (int64_t s = 0; s < nseg; ++s) {
         uint8_t* dst = mat + s * stride;
-        std::memset(dst, 0, (size_t)stride);
         int64_t w = 0;
         const int64_t lim = stride;
         int64_t i = starts[s];
@@ -112,6 +111,11 @@ void gj_unstuff_rows(const uint8_t* data, int64_t nseg,
             i += span;
             if (p && i < end && data[i] == 0x00) ++i;  // stuffed zero
         }
+        // zero only the tail AFTER the payload: rows are typically
+        // ~half full, so this halves the matrix writes vs a full
+        // memset (matters at restart_interval 1, where nseg is the
+        // block count and the matrix is ~100 MB at 8K Q100)
+        std::memset(dst + w, 0, (size_t)(stride - w));
         out_bytes[s] = (int32_t)w;
     }
 }

@@ -14,13 +14,15 @@ import numpy as np
 
 def pack_segments_matrix(data: np.ndarray,
                          ranges: List[Tuple[int, int]],
-                         max_words: int):
+                         max_words: int, out=None):
     """Build the decoder input matrix.
 
     data:   (N,) uint8 full codestream
     ranges: (nseg, 2) int64 [start, end) byte ranges of entropy segments
             (stuffed); a list of pairs is also accepted
     max_words: row width in 32-bit words (unstuffed payload must fit)
+    out:    optional (nseg, (max_words + 1) * 4) uint8 staging buffer
+            (native path only) — see native.unstuff_rows
 
     Returns (words, nbits): (nseg, max_words+1) uint32 rows (+1 guard
     word) and per-segment unstuffed bit counts.  Words are HOST-ORDER
@@ -31,7 +33,7 @@ def pack_segments_matrix(data: np.ndarray,
     """
     from .. import native
 
-    nat = native.unstuff_rows(data, ranges, max_words + 1)
+    nat = native.unstuff_rows(data, ranges, max_words + 1, out=out)
     if nat is not None:
         return nat
 

@@ -322,12 +322,23 @@ def suggest_restart_interval(
     the Pallas scan kernel's W <= 64 budget and onto the XLA fallback
     (measured 88 ms for an 8K Q100 decode vs 12.5 at Q75).  Halving the
     interval restores the kernel path for ~1% extra marker overhead.
+
+    At quality >= 97 (non-interleaved) the interval drops to ONE block
+    per segment: the decoder's serial token walk per lane is then
+    tokens-per-BLOCK instead of blocks * tokens-per-block, and the
+    boundary-scan and split phases vanish entirely (decoder
+    _decode_direct; measured 42 -> ~15 ms device for 8K Q100 decode).
+    Cost: ~5% stream size in markers + absolute-DC at Q100 density —
+    the same size-for-speed trade the reference's auto interval makes
+    (gpujpeg_encoder.c:290-317).  Pass an explicit restart_interval to
+    override.
     """
     blocks = 8                          # blocks per segment target
-    if quality >= 93:
-        # 4 (not 2): Q100 content still fits the W <= 64 scan window at
-        # 4 blocks/segment, and halving further doubles the per-segment
-        # host-prep cost (measured 85 ms host at 8K Q100 with rst=2)
+    if quality >= 97 and not interleaved:
+        blocks = 1
+    elif quality >= 93:
+        # 4 (not 2): Q93-96 content still fits the W <= 64 scan window
+        # at 4 blocks/segment with moderate per-segment host-prep cost
         blocks = 4
     if not interleaved:
         return blocks                   # blocks (== MCUs) per segment

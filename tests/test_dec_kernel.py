@@ -157,3 +157,64 @@ def test_compiled_pipeline_uses_kernel(stream, monkeypatch):
     monkeypatch.setenv("GPUJPEG_TPU_DECKERNEL", "0")
     ref = np.asarray(Decoder().decode(stream))
     assert np.array_equal(out, ref)
+
+
+def test_direct_bps1_decode(monkeypatch, rng):
+    """restart_interval == 1 streams take the DIRECT path (no boundary
+    scan, no split — segment rows ARE the block buffers, DC is absolute;
+    decoder._decode_direct) and decode identically to the XLA path."""
+    img = rng.integers(0, 256, (64, 80, 3), np.uint8)
+    data = bytes(Encoder().encode(img, Parameters(quality=97,
+                                                  restart_interval=1)))
+    ref = _decode_with_mode(data, "0", monkeypatch)
+    got = _decode_with_mode(data, "interpret", monkeypatch)
+    assert np.array_equal(ref, got)
+
+
+def test_direct_bps1_auto_interval_q100(monkeypatch, rng):
+    """The auto restart interval picks 1 block/segment at quality >= 97
+    (non-interleaved), and the round trip stays exact through the direct
+    path, including subsampling and grayscale."""
+    from gpujpeg_tpu.stream import reader
+
+    for shape in [(64, 80, 3), (40, 48)]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        data = bytes(Encoder().encode(
+            img, Parameters(quality=100, restart_interval=-1)))
+        ps = reader.parse(data)
+        assert ps.restart_interval == 1
+        ref = _decode_with_mode(data, "0", monkeypatch)
+        got = _decode_with_mode(data, "interpret", monkeypatch)
+        assert np.array_equal(ref, got)
+
+
+def test_direct_bps1_compiled_pipeline(monkeypatch, rng):
+    """compile_stream_pipeline's direct mode matches decode()."""
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    data = bytes(Encoder().encode(img, Parameters(quality=100,
+                                                  restart_interval=1)))
+    monkeypatch.setenv("GPUJPEG_TPU_DECKERNEL", "interpret")
+    dec = Decoder()
+    fn, words, nbits = dec.compile_stream_pipeline(data)
+    out = np.asarray(fn(words, nbits))
+    monkeypatch.setenv("GPUJPEG_TPU_DECKERNEL", "0")
+    ref = np.asarray(Decoder().decode(data))
+    assert np.array_equal(out, ref)
+
+
+def test_direct_bps1_corrupt_containment(monkeypatch, rng):
+    """Bit flips in a restart_interval=1 stream poison only the touched
+    blocks on the direct path."""
+    img = rng.integers(0, 256, (64, 80, 3), np.uint8)
+    data = bytes(Encoder().encode(img, Parameters(quality=97,
+                                                  restart_interval=1)))
+    ref = _decode_with_mode(data, "interpret", monkeypatch)
+    bad = bytearray(data)
+    pos = len(bad) // 2
+    bad[pos] ^= 0x5A
+    if bad[pos] == 0xFF:
+        bad[pos] = 0xFE
+    out = _decode_with_mode(bytes(bad), "interpret", monkeypatch)
+    assert out.shape == ref.shape
+    same_rows = (out == ref).all(axis=(1, 2)).mean()
+    assert same_rows > 0.5
