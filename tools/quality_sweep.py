@@ -72,7 +72,10 @@ def main():
             enc = gj.Encoder()
             fam = {}
             for q in range(10, 101, 10):
-                p = gj.Parameters(quality=q, restart_interval=-1,
+                # fixed interval: the quality/size story must not move
+                # with the speed-tuned AUTO interval (which trades ~5%
+                # size for decode speed at Q >= 97 — geometry.py)
+                p = gj.Parameters(quality=q, restart_interval=8,
                                   huffman_tables=family)
                 data = enc.encode(frame, p)
                 dec = np.asarray(Image.open(io.BytesIO(data))
