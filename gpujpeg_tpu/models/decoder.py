@@ -935,7 +935,16 @@ class Decoder:
         utils/geometry.suggest_restart_interval; measured 42 -> ~15 ms
         device at 8K Q100).  Counterpart of the reference's
         thread-per-segment decoder at its natural segment granularity
-        (gpujpeg_huffman_gpu_decoder.cu:390-536)."""
+        (gpujpeg_huffman_gpu_decoder.cu:390-536).
+
+        Corruption containment note: this path bounds the block's bit
+        consumption by the BYTE-aligned segment length (nbits includes
+        up to 7 padding bits), whereas the scan/split path bounds phase C
+        by exact per-block bit lengths — a corrupt block can therefore
+        consume its padding bits without tripping the cursor+consumed >
+        blen check.  Valid streams decode bit-identically on both paths;
+        the containment guarantee (poisoned lane, not poisoned frame) is
+        unchanged, only the detection is up to 7 bits laxer."""
         import time
 
         interp = kmode == "interpret"
@@ -995,6 +1004,20 @@ class Decoder:
         TPU analogue of decoding into a custom CUDA buffer
         (gpujpeg_decoder.h:50-61): downstream device pipelines consume it
         zero-copy."""
+        try:
+            return self._decode_to_device_impl(data, param_image)
+        except BaseException:
+            # the grow-only staging buffer may still be the source of an
+            # in-flight host->device transfer when an exception fires
+            # between the jnp.asarray dispatch and the end-of-decode
+            # fetch (kernel-build failure, KeyboardInterrupt); drop it so
+            # the NEXT decode cannot overwrite bytes PJRT is still
+            # reading (it allocates a fresh buffer instead)
+            self._prep_buf = None
+            raise
+
+    def _decode_to_device_impl(self, data: bytes,
+                               param_image: Optional[ImageParameters] = None):
         import time
 
         t0 = time.perf_counter()
@@ -1207,6 +1230,103 @@ class Decoder:
             import logging
             logging.getLogger("gpujpeg_tpu").warning(
                 "corrupt segment(s) during Huffman decode")
+        return out
+
+    def decode_coefficients(self, data: bytes):
+        """Decoded QUANTIZED DCT coefficients, per component: a list of
+        (nby, nbx, 64) int16 arrays in raster block order with ZIG-ZAG
+        coefficient order (nbx/nby = the geometry's block-padded
+        component dims, MCU-padded when interleaved).
+
+        Debug/parity API: the entropy decoder's output before
+        dequantization+IDCT, comparable bit-exactly against libjpeg's
+        jpeg_read_coefficients view (native.libjpeg_coefficients —
+        natural order, true ceil(size/8) dims; crop + zig-zag-permute to
+        compare).  Honors GPUJPEG_TPU_DECKERNEL like decode(), so tests
+        can gate both the Pallas kernels and the XLA fallback against
+        the oracle.  Always runs scan -> split -> block (no direct-path
+        shortcut) — the comparison covers the general machinery."""
+        ps = reader.parse(data)
+        if not ps.scans:
+            raise CorruptStreamError("no scan in stream")
+        param = reader.parsed_to_parameters(ps)
+        out_pi = resolve_output(ps, None, 0)
+        geo = get_geometry(param, out_pi.with_(width_padding=0))
+        ranges = self._segment_ranges(ps, geo)
+        nseg = geo.segment_count
+        max_seg_bytes = int((ranges[:, 1] - ranges[:, 0]).max())
+        max_words = _bucket((max_seg_bytes + 3) // 4)
+        words_np, nbits = segprep.pack_segments_matrix(ps.data, ranges,
+                                                       max_words)
+        plan = self._plan_for(geo, ps)
+        if plan is None:
+            raise ValueError(
+                "legacy-path streams (>2 table sets) are not supported "
+                "by decode_coefficients")
+        bps = plan.bps
+        words = _bswap32_dev(jnp.asarray(words_np))
+        nbits_d = jnp.asarray(nbits)
+        blocks_per_seg = jnp.asarray(
+            plan.blk_valid.reshape(nseg, bps).sum(axis=1).astype(np.int32))
+        kmode = deckernel_mode()
+        skfn = (plan.kernel_scan_fn(int(words.shape[1]), nseg,
+                                    kmode == "interpret")
+                if kmode != "off" else None)
+        if skfn is not None:
+            bstart, _e = skfn(
+                words, nbits_d, blocks_per_seg,
+                jnp.asarray(plan.dc_luma_row.astype(np.int32)),
+                jnp.asarray(plan.ac_luma_row.astype(np.int32)))
+        else:
+            bstart, _e = plan.scan_fn(words, nbits_d, blocks_per_seg,
+                                      jnp.asarray(plan.dc_luma_row),
+                                      jnp.asarray(plan.ac_luma_row))
+        needs = np.asarray(huffdec2.split_needs(bstart, bps))
+        caps = tuple(int(needs[i]) + 1 for i in range(len(needs)))
+        bufs = self._split_fn(bps, caps)(words, bstart) \
+            .reshape(nseg * bps, -1)
+        bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(nseg * bps)
+        kfn = (plan.kernel_block_fn(int(bufs.shape[1]),
+                                    kmode == "interpret")
+               if kmode != "off" else None)
+        if kfn is not None:
+            coefs_t, _e = kfn(
+                bufs.T, bit_len[None, :],
+                jnp.asarray(plan.blk_dc_luma.astype(np.int32))[None, :],
+                jnp.asarray(plan.blk_ac_luma.astype(np.int32))[None, :],
+                jnp.asarray(plan.blk_valid.astype(np.int32))[None, :])
+            coefs = coefs_t.T
+        else:
+            coefs, _e = plan.block_fn()(
+                bufs, bit_len, jnp.asarray(plan.blk_dc_luma),
+                jnp.asarray(plan.blk_ac_luma),
+                jnp.asarray(plan.blk_valid))
+        coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), plan.comp_pattern)
+        coefs = np.asarray(coefs)
+        out = []
+        if not geo.interleaved:
+            base = 0
+            for c in geo.components:
+                S, rst = c.segment_count, c.segment_mcu_count
+                rows = coefs[base:base + S, :rst].reshape(S * rst, 64)
+                blocks = rows[: c.mcu_count]
+                nbx, nby = c.data_width // 8, c.data_height // 8
+                out.append(blocks.reshape(nby, nbx, 64).astype(np.int16))
+                base += S
+        else:
+            S, rst = geo.segment_count, geo.segment_mcu_count
+            x = coefs.reshape(S * rst, geo.blocks_per_mcu, 64) \
+                [: geo.mcu_count]
+            slot = 0
+            for c in geo.components:
+                bpm_c = c.samp_v * c.samp_h
+                xc = x[:, slot:slot + bpm_c]
+                xc = xc.reshape(c.mcu_count_y, c.mcu_count_x,
+                                c.samp_v, c.samp_h, 64)
+                xc = xc.transpose(0, 2, 1, 3, 4).reshape(
+                    c.mcu_count_y * c.samp_v, c.mcu_count_x * c.samp_h, 64)
+                out.append(xc.astype(np.int16))
+                slot += bpm_c
         return out
 
     @staticmethod

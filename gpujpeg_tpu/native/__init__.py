@@ -205,6 +205,74 @@ def pack_tokens(bits: np.ndarray, lens: np.ndarray) -> bytes:
     return bytes(out)
 
 
+_ORACLE: Optional[ctypes.CDLL] = None
+_ORACLE_TRIED = False
+
+
+def jpeg_oracle() -> Optional[ctypes.CDLL]:
+    """libjpeg coefficient-oracle library (tests/parity only), or None
+    when libjpeg headers/libs are unavailable on this machine."""
+    global _ORACLE, _ORACLE_TRIED
+    if _ORACLE_TRIED:
+        return _ORACLE
+    _ORACLE_TRIED = True
+    src = os.path.join(os.path.dirname(__file__), "jpeg_oracle.c")
+    if not os.path.exists(src):
+        return None
+    out = os.path.join(_build_dir(), "libgpujpeg_tpu_oracle.so")
+    if not (os.path.exists(out)
+            and os.path.getmtime(out) >= os.path.getmtime(src)):
+        cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", out, "-ljpeg"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except Exception:
+            return None
+    try:
+        L = ctypes.CDLL(out)
+        L.gj_oracle_info.restype = ctypes.c_long
+        L.gj_oracle_info.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        L.gj_oracle_coefs.restype = ctypes.c_long
+        L.gj_oracle_coefs.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p]
+        _ORACLE = L
+    except OSError:
+        _ORACLE = None
+    return _ORACLE
+
+
+def libjpeg_coefficients(data: bytes):
+    """Quantized DCT coefficients exactly as LIBJPEG decodes them:
+    (per-component (bh, bw, 64) int16 natural-order arrays,
+    per-component (64,) uint16 natural-order quant tables), or None when
+    the oracle library cannot be built.  The decoder's coefficient-level
+    bit-exactness oracle for foreign streams."""
+    L = jpeg_oracle()
+    if L is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    ncomp = ctypes.c_int(0)
+    bw = np.zeros(4, np.int32)
+    bh = np.zeros(4, np.int32)
+    if L.gj_oracle_info(_ptr(buf), len(buf), ctypes.byref(ncomp),
+                        _ptr(bw), _ptr(bh)) != 0:
+        raise ValueError("libjpeg could not decode the stream")
+    nc = int(ncomp.value)
+    outs = [np.zeros((int(bh[c]), int(bw[c]), 64), np.int16)
+            for c in range(nc)]
+    qts = [np.zeros(64, np.uint16) for c in range(nc)]
+    PtrArr = ctypes.c_void_p * nc
+    optrs = PtrArr(*[o.ctypes.data_as(ctypes.c_void_p).value
+                     for o in outs])
+    qptrs = PtrArr(*[q.ctypes.data_as(ctypes.c_void_p).value
+                     for q in qts])
+    if L.gj_oracle_coefs(_ptr(buf), len(buf), optrs, qptrs) != 0:
+        raise ValueError("libjpeg could not decode the stream")
+    return outs, qts
+
+
 def lcg_fill(n: int, seed: int) -> np.ndarray:
     L = lib()
     out = np.empty(n, np.uint8)

@@ -187,7 +187,24 @@ def parse(data: bytes) -> ParsedStream:
 
         if marker == markers.APP0:
             if body[:5] == b"JFIF\x00":
+                # version check mirrors gpujpeg_reader_read_jfif
+                # (gpujpeg_reader.c:176-207): major must be 1, minor 0-2
                 ps.header_type = HeaderType.JFIF
+                if len(body) >= 7:
+                    vmaj, vmin = body[5], body[6]
+                    if vmaj != 1 or vmin > 2:
+                        log.warning(
+                            "JFIF marker version should be 1.00 to 1.02 "
+                            "but %d.%02d was presented", vmaj, vmin)
+            elif body[:5] == b"JFXX\x00":
+                # JFXX extension (thumbnail) APP0: recognized and skipped
+                # (gpujpeg_reader_skip_jfxx, gpujpeg_reader.c:211-218);
+                # it follows a JFIF APP0, so header_type is already set
+                log.debug("APP0 JFXX extension (%d bytes) skipped",
+                          length - 2)
+            elif len(body) >= 5:
+                log.warning("APP0 marker identifier is not supported %r!",
+                            bytes(body[:4]))
         elif marker == markers.APP8:
             if body[:6] == b"SPIFF\x00":
                 ps.header_type = HeaderType.SPIFF

@@ -331,10 +331,16 @@ def suggest_restart_interval(
     Cost: ~5% stream size in markers + absolute-DC at Q100 density —
     the same size-for-speed trade the reference's auto interval makes
     (gpujpeg_encoder.c:290-317).  Pass an explicit restart_interval to
-    override.
+    override, or set GPUJPEG_TPU_RESTART_SCHEDULE=host to keep the
+    interval at 4 for Q >= 97 (fewer segments => cheaper host-side
+    parse/unstuff on low-core hosts, at the cost of the slower
+    scan-phase decode on device).
     """
+    import os
+
     blocks = 8                          # blocks per segment target
-    if quality >= 97 and not interleaved:
+    schedule = os.environ.get("GPUJPEG_TPU_RESTART_SCHEDULE", "device")
+    if quality >= 97 and not interleaved and schedule != "host":
         blocks = 1
     elif quality >= 93:
         # 4 (not 2): Q93-96 content still fits the W <= 64 scan window

@@ -202,6 +202,36 @@ def test_direct_bps1_compiled_pipeline(monkeypatch, rng):
     assert np.array_equal(out, ref)
 
 
+def test_split_path_large_k_parity(monkeypatch, rng):
+    """Split-path phase C with block buffers in the 17-40-word range
+    runs the Pallas kernel (the K cap is 40) and matches the XLA
+    while-loop decode bit-exactly.  Dense Q100 noise at an EXPLICIT
+    restart interval 2 keeps the scan/split path (the direct path only
+    engages at interval 1) while pushing per-block buffers past 16
+    words (ADVICE r4: the K 16 -> 40 cap raise silently moved these
+    buffers off the XLA fallback with no test at large K)."""
+    from gpujpeg_tpu.stream import reader
+    from gpujpeg_tpu.utils.geometry import get_geometry
+
+    img = rng.integers(0, 256, (64, 80, 3), np.uint8)
+    data = bytes(Encoder().encode(img, Parameters(quality=100,
+                                                  restart_interval=2)))
+    ref = _decode_with_mode(data, "0", monkeypatch)
+    monkeypatch.setenv("GPUJPEG_TPU_DECKERNEL", "interpret")
+    dec = Decoder()
+    got = np.asarray(dec.decode(data))
+    assert np.array_equal(ref, got)
+    ps = reader.parse(data)
+    param = reader.parsed_to_parameters(ps)
+    out_pi = dec_mod.resolve_output(ps, None, 0)
+    geo = get_geometry(param, out_pi.with_(width_padding=0))
+    plan = dec._plan_for(geo, ps)
+    assert plan.split_caps, "split path did not run"
+    K = int(plan.split_caps[-1])
+    assert 16 < K <= 40, f"test content no longer lands in 17-40 (K={K})"
+    assert plan.kernel_block_fn(K, True) is not None
+
+
 def test_direct_bps1_corrupt_containment(monkeypatch, rng):
     """Bit flips in a restart_interval=1 stream poison only the touched
     blocks on the direct path."""
@@ -210,7 +240,16 @@ def test_direct_bps1_corrupt_containment(monkeypatch, rng):
                                                   restart_interval=1)))
     ref = _decode_with_mode(data, "interpret", monkeypatch)
     bad = bytearray(data)
-    pos = len(bad) // 2
+    # flip a byte verified to lie strictly INSIDE a segment's entropy
+    # bytes (at interval 1 roughly a third of the scan is RST markers —
+    # destroying one would collapse segmentation instead of poisoning a
+    # block, leaving the containment assertion near its threshold)
+    from gpujpeg_tpu.stream import reader
+
+    segs = reader.parse(data).scans[0].segments
+    mid = segs[len(segs) // 2]
+    pos = int(mid[0])
+    assert pos < int(mid[1])
     bad[pos] ^= 0x5A
     if bad[pos] == 0xFF:
         bad[pos] = 0xFE
