@@ -66,6 +66,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("-C", "--convert", action="store_true")
     p.add_argument("-R", "--component-range", action="store_true")
     p.add_argument("-n", "--iterate", type=int, default=1)
+    p.add_argument("-B", "--batch", type=int, default=0, metavar="N",
+                   help="video batch encode: read N frames per batch from "
+                        "a multi-frame Y4M input and encode them through "
+                        "the device mesh 'data' axis (parallel."
+                        "BatchEncoder); output path may contain a printf "
+                        "pattern like out_%%03d.jpg")
     p.add_argument("-o", "--use-opengl", action="store_true")
     p.add_argument("-I", "--info", type=str, default=None, metavar="FILE")
     p.add_argument("-a", "--alpha", action="store_true")
@@ -206,6 +212,78 @@ def run_encode(args, enc, in_path: str, out_path: str) -> None:
           f"({len(out)} bytes)", file=sys.stderr)
 
 
+def _batch_out_path(out_path: str, idx: int) -> str:
+    if "%" in out_path:
+        return out_path % idx
+    root, ext = os.path.splitext(out_path)
+    return f"{root}_{idx:03d}{ext}"
+
+
+def run_encode_y4m_batch(args, in_path: str, out_path: str) -> None:
+    """Video-sequence batch encode: every FRAME of a Y4M file through
+    parallel.BatchEncoder over the mesh 'data' axis (BASELINE config 4;
+    new capability vs the reference, whose Y4M reader is single-frame —
+    src/utils/y4m.c — and whose CLI iterates files serially)."""
+    import jax
+
+    from .io import y4m
+    from .parallel.batch import BatchEncoder
+    from .parallel.mesh import make_mesh
+
+    with open(in_path, "rb") as f:
+        data = f.read()
+    pi, frames_it = y4m.load_y4m_frames(data)
+    if args.colorspace:
+        cs = formats.color_space_by_name(args.colorspace)
+        if cs is None:
+            raise SystemExit(f"unknown color space {args.colorspace!r}")
+        pi = pi.with_(color_space=cs)
+    param = Parameters(
+        quality=args.quality, restart_interval=args.restart,
+        interleaved=args.interleaved, segment_info=args.segment_info)
+    if args.subsampled:
+        param = param.chroma_subsampled(parse_subsampling(args.subsampled))
+
+    batch = max(args.batch, 1)
+    nd = len(jax.devices())
+    # mesh 'data' extent: the largest device count dividing the batch
+    data_ext = max(k for k in range(1, min(nd, batch) + 1)
+                   if batch % k == 0)
+    mesh = make_mesh(n_devices=data_ext, data=data_ext, seg=1)
+    enc = BatchEncoder(mesh, param, pi)
+
+    idx = 0
+    t0 = time.perf_counter()
+    chunk: list = []
+
+    def flush(chunk):
+        nonlocal idx
+        real = len(chunk)
+        while len(chunk) < batch:        # pad the tail batch (outputs
+            chunk.append(chunk[-1])      # of the padding are dropped)
+        outs = enc.encode_batch(np.stack(chunk))
+        for s in outs[:real]:
+            p = _batch_out_path(out_path, idx)
+            with open(p, "wb") as f:
+                f.write(s)
+            if args.verbose:
+                print(f"encoded frame {idx} -> {p} ({len(s)} bytes)",
+                      file=sys.stderr)
+            idx += 1
+
+    for frame in frames_it:
+        chunk.append(frame)
+        if len(chunk) == batch:
+            flush(chunk)
+            chunk = []
+    if chunk:
+        flush(chunk)
+    dt = time.perf_counter() - t0
+    print(f"encoded {idx} frames from {in_path} over a {data_ext}-device "
+          f"'data' mesh in {dt * 1000:.1f} ms "
+          f"({idx / dt:.1f} frames/s)", file=sys.stderr)
+
+
 def run_decode(args, dec, in_path: str, out_path: str) -> None:
     from .types import PixelFormatRequest
 
@@ -342,6 +420,9 @@ def main(argv: Optional[list] = None) -> int:
         if args.convert:
             run_convert(args, in_path, out_path)
         elif encode and not decode:
+            if args.batch > 0 and in_fmt == FileFormat.Y4M:
+                run_encode_y4m_batch(args, in_path, out_path)
+                continue
             if encoder is None:
                 from .models.encoder import Encoder
 

@@ -176,6 +176,63 @@ def test_cli_encode_decode_roundtrip(tmp_path):
     assert col[-1] > col[0] + 100
 
 
+def test_y4m_multiframe_roundtrip():
+    """load_y4m_frames yields every FRAME; save_y4m_frames round-trips."""
+    from gpujpeg_tpu.types import ColorSpace, ImageParameters, PixelFormat
+
+    rng = np.random.default_rng(3)
+    pi = ImageParameters(width=8, height=4,
+                         color_space=ColorSpace.YCBCR_BT601_256LVLS,
+                         pixel_format=PixelFormat.P420_U8_P0P1P2)
+    frames = [rng.integers(0, 256, 8 * 4 * 3 // 2, endpoint=False)
+              .astype(np.uint8) for _ in range(5)]
+    data = y4m.save_y4m_frames(pi, frames)
+    pi2, it = y4m.load_y4m_frames(data)
+    got = list(it)
+    assert (pi2.width, pi2.height) == (8, 4)
+    assert len(got) == 5
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+    # single-frame API still reads the first frame
+    first, _ = y4m.load_y4m(data)
+    assert np.array_equal(first, frames[0])
+
+
+def test_cli_y4m_batch_encode(tmp_path):
+    """CLI -B: a 16-frame Y4M sequence encodes through the mesh-'data'
+    BatchEncoder (BASELINE config 4: video batch, BT.709 limited via -c,
+    SPIFF header auto-selected for limited range), and every output
+    matches the single-frame Encoder byte-for-byte."""
+    from gpujpeg_tpu import cli, Encoder, Parameters
+    from gpujpeg_tpu.types import ColorSpace, ImageParameters, PixelFormat
+
+    rng = np.random.default_rng(11)
+    w, h, n = 64, 48, 16
+    pi = ImageParameters(width=w, height=h,
+                         color_space=ColorSpace.YCBCR_BT709,
+                         pixel_format=PixelFormat.P420_U8_P0P1P2)
+    size = w * h * 3 // 2
+    # smooth-ish frames: low-frequency base + small noise
+    base = rng.integers(64, 192, size).astype(np.uint8)
+    frames = [(base + i) % 255 for i in range(n)]
+    seq = str(tmp_path / "seq.y4m")
+    with open(seq, "wb") as f:
+        f.write(y4m.save_y4m_frames(pi.with_(
+            color_space=ColorSpace.YCBCR_BT601), frames))
+
+    out_pat = str(tmp_path / "f_%03d.jpg")
+    assert cli.main(["-e", "-B", "8", "-c", "ycbcr-bt709", "-q", "85",
+                     seq, out_pat]) == 0
+    enc = Encoder()
+    for i in range(n):
+        p = str(tmp_path / ("f_%03d.jpg" % i))
+        assert os.path.getsize(p) > 100, p
+        with open(p, "rb") as f:
+            got = f.read()
+        want = bytes(enc.encode(frames[i], Parameters(quality=85), pi))
+        assert got == want, f"frame {i} differs from single-frame encode"
+
+
 def test_cli_info(tmp_path, capsys):
     from gpujpeg_tpu import cli
 
