@@ -137,15 +137,15 @@ def host_prep_ms(stream, reps=5):
         param = reader.parsed_to_parameters(ps)
         out_pi = resolve_output(ps, None, 0)
         geo = get_geometry(param, out_pi.with_(width_padding=0))
-        ranges = dec._segment_ranges(ps, geo)
-        mw = _bucket((int((ranges[:, 1] - ranges[:, 0]).max()) + 3) // 4)
-        segprep.pack_segments_matrix(ps.data, ranges, mw, out=out)
+        bounds = dec._segment_bounds(ps, geo)
+        mw = _bucket((int((bounds[1] - bounds[0]).max()) + 3) // 4)
+        segprep.pack_segments_matrix(ps.data, bounds, mw, out=out)
         dt = time.perf_counter() - t0
         best = min(best, dt)    # first rep pays one-time costs
         # session steady state: the Decoder reuses its staging buffer
         # (_words_scratch), so later reps measure with warm pages
         if out is None:
-            out = np.empty((len(ranges), (mw + 1) * 4), np.uint8)
+            out = np.empty((len(bounds[0]), (mw + 1) * 4), np.uint8)
     return best * 1000.0
 
 

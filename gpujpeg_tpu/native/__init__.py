@@ -72,7 +72,7 @@ def lib() -> Optional[ctypes.CDLL]:
         L.gj_unstuff_rows.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_int64]
         L.gj_lcg_fill.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                   ctypes.c_uint32]
         L.gj_pack_tokens.restype = ctypes.c_int64
@@ -133,22 +133,39 @@ def scan_split(data: np.ndarray, start: int, max_segments: int):
     return segs, int(end_pos.value) + start, int(bad.value)
 
 
-def unstuff_rows(data: np.ndarray, ranges, row_words: int, out=None):
+def unstuff_rows(data: np.ndarray, ranges, row_words: int, out=None,
+                 zero_tail: bool = False):
     """Unstuff segments into a (nseg, row_words) big-endian u32 matrix.
 
-    ranges: (nseg, 2) int64 [start, end) rows (or a list of pairs).
+    ranges: (nseg, 2) int64 [start, end) rows (or a list of pairs), OR a
+    (starts, ends) tuple of contiguous int64 1-D arrays — the copy-free
+    form ScanInfo.segment_bounds produces (the (n, 2) column extraction
+    cost ~6 ms per 8K Q100 frame at 1.55 M segments).
     out: optional caller-provided (nseg, row_words * 4) uint8 buffer —
     a fresh np.empty page-faults its ~100 MB inside the parallel fill
     at restart_interval 1 (measured +40-90 ms per 8K Q100 frame);
     session buffers keep the pages warm.
+    zero_tail: zero row bytes past the payload.  Off by default: the
+    decode kernels gate every bit-commit by the per-segment bit count
+    (phase-A/C cursor+consumed checks), so tail garbage is never
+    decoded into results for valid streams — and skipping the memset
+    cuts ~40% of the matrix writes at restart_interval 1.  (Corrupt
+    streams remain contained either way; only WHICH poisoned value a
+    corrupt lane reports may vary run to run.)
     Returns (words, nbits) or None when the native library is missing."""
     L = lib()
     if L is None:
         return None
-    r = np.asarray(ranges, np.int64).reshape(-1, 2)
-    nseg = len(r)
-    starts = np.ascontiguousarray(r[:, 0])
-    ends = np.ascontiguousarray(r[:, 1])
+    if isinstance(ranges, tuple):
+        starts, ends = ranges
+        starts = np.ascontiguousarray(starts, np.int64)
+        ends = np.ascontiguousarray(ends, np.int64)
+        nseg = len(starts)
+    else:
+        r = np.asarray(ranges, np.int64).reshape(-1, 2)
+        nseg = len(r)
+        starts = np.ascontiguousarray(r[:, 0])
+        ends = np.ascontiguousarray(r[:, 1])
     if out is not None and out.shape == (nseg, row_words * 4) \
             and out.dtype == np.uint8 and out.flags.c_contiguous:
         mat = out
@@ -157,7 +174,8 @@ def unstuff_rows(data: np.ndarray, ranges, row_words: int, out=None):
     out_bytes = np.zeros(nseg, np.int32)
     data = np.ascontiguousarray(data)
     L.gj_unstuff_rows(_ptr(data), nseg, _ptr(starts), _ptr(ends),
-                      _ptr(mat), row_words, _ptr(out_bytes))
+                      _ptr(mat), row_words, _ptr(out_bytes),
+                      1 if zero_tail else 0)
     # host-order view (zero-copy): stream byte k = byte k of the word;
     # device pipelines byteswap on ingestion (a numpy ">u4" astype here
     # cost ~4 ms per 8K frame on the host)

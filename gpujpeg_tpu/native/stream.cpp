@@ -86,10 +86,15 @@ int64_t gj_scan_split(const uint8_t* data, int64_t n,
 //   data:      full codestream
 //   starts/ends: segment byte ranges (stuffed)
 //   mat:       nseg x (row_words*4) bytes, zeroed by callee
+//   zero_tail: when 0, bytes past each row's payload are left as-is
+//              (garbage): the decoder gates every bit-commit by the
+//              per-segment bit count, so the tail is never decoded —
+//              skipping the memset cuts ~40% of matrix writes at
+//              restart_interval 1 (1.55 M ~41-B payloads in 68-B rows)
 void gj_unstuff_rows(const uint8_t* data, int64_t nseg,
                      const int64_t* starts, const int64_t* ends,
                      uint8_t* mat, int64_t row_words,
-                     int32_t* out_bytes) {
+                     int32_t* out_bytes, int64_t zero_tail) {
     const int64_t stride = row_words * 4;
 #pragma omp parallel for schedule(dynamic, 256)
     for (int64_t s = 0; s < nseg; ++s) {
@@ -99,8 +104,11 @@ void gj_unstuff_rows(const uint8_t* data, int64_t nseg,
         int64_t i = starts[s];
         const int64_t end = ends[s];
         // memchr/memcpy spans: 0xFF bytes are ~0.4% of typical entropy
-        // data, so the stream copies at memcpy speed instead of the old
-        // byte-at-a-time branchy loop (~5x on the 8K host-prep path)
+        // data, so the stream copies at memcpy speed instead of a
+        // byte-at-a-time branchy loop (~5x on the 8K host-prep path).
+        // An inline 8-byte SWAR variant was A/B-measured SLOWER (14.8
+        // vs 9.7 ms warm on 1.55 M 41-B rows): glibc's AVX2 memchr/
+        // memcpy beat the u64 loop even including call overhead.
         while (i < end && w < lim) {
             const uint8_t* p = (const uint8_t*)std::memchr(
                 data + i, 0xFF, (size_t)(end - i));
@@ -115,7 +123,7 @@ void gj_unstuff_rows(const uint8_t* data, int64_t nseg,
         // ~half full, so this halves the matrix writes vs a full
         // memset (matters at restart_interval 1, where nseg is the
         // block count and the matrix is ~100 MB at 8K Q100)
-        std::memset(dst + w, 0, (size_t)(stride - w));
+        if (zero_tail) std::memset(dst + w, 0, (size_t)(stride - w));
         out_bytes[s] = (int32_t)w;
     }
 }
@@ -166,6 +174,6 @@ void gj_lcg_fill(uint8_t* out, int64_t n, uint32_t seed) {
     }
 }
 
-int gj_native_version(void) { return 2; }
+int gj_native_version(void) { return 3; }
 
 }  // extern "C"

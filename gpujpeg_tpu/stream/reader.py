@@ -25,17 +25,70 @@ from . import markers
 log = logging.getLogger("gpujpeg_tpu")
 
 
-@dataclasses.dataclass
 class ScanInfo:
-    comp_indices: List[int]
-    dc_table: List[int]          # per scan component
-    ac_table: List[int]
-    # (n, 2) int64 [start, end) byte ranges into the original buffer,
-    # entropy data only (RST markers excluded)
-    segments: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.zeros((0, 2), np.int64))
-    sos_pos: int = -1            # offset of the 0xFF of this scan's SOS
-    data_start: int = -1         # offset of the first entropy byte
+    """Per-scan table assignment + segment layout.
+
+    Segment layout comes in one of two forms:
+      * ``offsets`` — (n+1,) int64 ABSOLUTE stream positions: segment k
+        spans [offsets[k], offsets[k+1] - 2) (2 trailing RST marker
+        bytes), the last spans [offsets[n-1], offsets[n]).  Set by the
+        O(1) APP13 segment-info path; the compact form the decoder's
+        host prep consumes directly (no (n, 2) materialization — the
+        build + concat cost ~10 ms per 8K Q100 frame at 1.55 M
+        segments).
+      * ``segments`` — (n, 2) int64 [start, end) entropy byte ranges
+        (RST markers excluded).  Set by the marker-scan splitter;
+        lazily derived from ``offsets`` on first access otherwise.
+    """
+
+    def __init__(self, comp_indices: List[int], dc_table: List[int],
+                 ac_table: List[int]):
+        self.comp_indices = comp_indices
+        self.dc_table = dc_table        # per scan component
+        self.ac_table = ac_table
+        self._segments: Optional[np.ndarray] = None
+        self.offsets: Optional[np.ndarray] = None
+        self.sos_pos = -1        # offset of the 0xFF of this scan's SOS
+        self.data_start = -1     # offset of the first entropy byte
+
+    @property
+    def segments(self) -> np.ndarray:
+        if self._segments is None:
+            if self.offsets is not None and len(self.offsets) >= 2:
+                o = self.offsets
+                seg = np.empty((len(o) - 1, 2), np.int64)
+                seg[:, 0] = o[:-1]
+                seg[:, 1] = o[1:] - 2
+                seg[-1, 1] = o[-1]
+                self._segments = seg
+            else:
+                self._segments = np.zeros((0, 2), np.int64)
+        return self._segments
+
+    @segments.setter
+    def segments(self, v: np.ndarray) -> None:
+        self._segments = v
+
+    @property
+    def segment_count(self) -> int:
+        if self._segments is not None:
+            return len(self._segments)
+        if self.offsets is not None:
+            return max(len(self.offsets) - 1, 0)
+        return 0
+
+    def segment_bounds(self):
+        """(starts, ends) int64 1-D arrays — the copy-light form (views
+        of ``offsets`` plus one subtract when available)."""
+        if self._segments is None and self.offsets is not None \
+                and len(self.offsets) >= 2:
+            o = self.offsets
+            ends = o[1:] - 2
+            ends[-1] += 2
+            return o[:-1], ends
+        segs = self.segments
+        return np.ascontiguousarray(segs[:, 0]), \
+            np.ascontiguousarray(segs[:, 1])
 
 
 @dataclasses.dataclass
@@ -348,7 +401,7 @@ def parse(data: bytes) -> ParsedStream:
                    if si else None)
             if off is not None and (
                     len(off) < 2
-                    or bool((np.diff(off) < 0).any())
+                    or bool((off[1:] < off[:-1]).any())
                     or scan_data_start + int(off[-1]) > len(arr)):
                 # corrupt segment-info index (non-monotonic or out of
                 # range): ignore it and fall back to marker parsing
@@ -356,14 +409,14 @@ def parse(data: bytes) -> ParsedStream:
                             "falling back to scan parsing", len(ps.scans))
                 off = None
             if off is not None:
-                # O(1) segment split from APP13 offsets (reader.c:1167-1232)
-                base = scan_data_start
-                starts_ = base + off[:-1]
-                # strip the trailing RST marker from each but last segment
-                ends_ = base + off[1:] - 2
-                ends_[-1] = base + off[-1]
-                scan.segments = np.stack([starts_, ends_], axis=1)
-                end_pos = base + int(off[-1])
+                # O(1) segment split from APP13 offsets
+                # (reader.c:1167-1232); stored in the compact (n+1,)
+                # absolute-offset form — ScanInfo derives [start, end)
+                # ranges lazily, and the decoder's host prep consumes
+                # the offsets directly
+                off += scan_data_start
+                scan.offsets = off
+                end_pos = int(off[-1])
             else:
                 scan.segments, end_pos = _read_segment_body(
                     arr, scan_data_start, None)
@@ -431,7 +484,7 @@ def get_image_info(data: bytes) -> ImageInfo:
         width=ps.width, height=ps.height, comp_count=ps.comp_count,
         color_space=ps.color_space, pixel_format=pf,
         interleaved=ps.interleaved, restart_interval=ps.restart_interval,
-        segment_count=sum(len(s.segments) for s in ps.scans),
+        segment_count=sum(s.segment_count for s in ps.scans),
         header_type=ps.header_type, quality=quality, comment=ps.comment,
         orientation=ps.orientation, sampling=tuple(ps.sampling),
     )

@@ -19,7 +19,9 @@ def pack_segments_matrix(data: np.ndarray,
 
     data:   (N,) uint8 full codestream
     ranges: (nseg, 2) int64 [start, end) byte ranges of entropy segments
-            (stuffed); a list of pairs is also accepted
+            (stuffed); a list of pairs or a (starts, ends) tuple of
+            int64 1-D arrays (the copy-free fast-path form) is also
+            accepted
     max_words: row width in 32-bit words (unstuffed payload must fit)
     out:    optional (nseg, (max_words + 1) * 4) uint8 staging buffer
             (native path only) — see native.unstuff_rows
@@ -37,10 +39,14 @@ def pack_segments_matrix(data: np.ndarray,
     if nat is not None:
         return nat
 
-    r = np.asarray(ranges, np.int64).reshape(-1, 2)
-    nseg = len(r)
-    starts = r[:, 0]
-    ends = r[:, 1]
+    if isinstance(ranges, tuple):
+        starts, ends = (np.asarray(a, np.int64) for a in ranges)
+        nseg = len(starts)
+    else:
+        r = np.asarray(ranges, np.int64).reshape(-1, 2)
+        nseg = len(r)
+        starts = r[:, 0]
+        ends = r[:, 1]
     lens = ends - starts
 
     # stuffed-zero mask over the whole buffer (a stuffed 0x00 follows 0xFF;
