@@ -245,6 +245,68 @@ class BatchEncoder:
             out.append(self._stitch(header, rows[b], row_bytes[b]))
         return out
 
+    def encode_batch_local(self, local_frames):
+        """MULTI-HOST batch encode: each process passes only ITS OWN
+        frames (the global batch rows local_frame_indices selects, in
+        that order) and gets back (streams, global_indices) for exactly
+        those frames.
+
+        Frame routing is process-local by mesh construction (dist.
+        make_global_mesh keeps every frame's 'seg' shards intra-host),
+        so no pixel or codestream bytes ever cross hosts — only the
+        tiny sticky-caps needs vector is allgathered so every process
+        grows capacities identically (deterministic SPMD recompiles).
+        Degrades to encode_batch on a single process.  This is
+        BASELINE's >= 80 % frames/s multi-host scaling axis; the
+        reference has no counterpart (single-GPU select,
+        gpujpeg_common.c:220-288)."""
+        import jax
+        from . import dist
+
+        local_frames = np.stack([np.asarray(f) for f in local_frames])
+        if jax.process_count() == 1:
+            return (self.encode_batch(local_frames),
+                    list(range(len(local_frames))))
+        rows_mine = dist.data_rows_of_process(self.mesh)
+        if not rows_mine:
+            raise ValueError("this process owns no mesh 'data' rows")
+        if len(local_frames) % len(rows_mine):
+            raise ValueError(
+                f"{len(local_frames)} local frames do not split evenly "
+                f"over this process's {len(rows_mine)} 'data' rows")
+        B = (len(local_frames) // len(rows_mine)) * self.mesh.shape["data"]
+        idx = dist.local_frame_indices(self.mesh, B)
+        garr = dist.make_global_batch(self.mesh, P("data", "seg"),
+                                      local_frames, B)
+        for _attempt in range(12):
+            res = self.fn(garr)
+            jax.block_until_ready(res)
+            rows_a, rb_a, needs_a = res
+            nd = [np.asarray(s.data) for s in needs_a.addressable_shards]
+            need_vec = np.max([x.reshape(-1, x.shape[-1]).max(axis=0)
+                               for x in nd], axis=0)
+            need_vec = dist.allgather_max(need_vec)
+            if enc_mod.caps_ok_for(self.geo_local, self.caps, need_vec):
+                if not self._tightened:
+                    self._tightened = True
+                    tight = enc_mod.tightened_mega_caps(
+                        self.geo_local, self.caps, need_vec)
+                    if tight is not None:
+                        self.caps = tight
+                        self._build()
+                        continue
+                break
+            self.caps = enc_mod.grown_caps_for(self.geo_local, self.caps,
+                                               need_vec)
+            self._build()
+        else:
+            raise RuntimeError("capacity growth did not converge")
+        rows_map = dist.local_rows(rows_a, self.mesh, B)
+        rb_map = dist.local_rows(rb_a, self.mesh, B)
+        header = jwriter.write_header(self.geo)
+        return [self._stitch(header, rows_map[b], rb_map[b])
+                for b in idx], idx
+
     def _stitch(self, header: bytes, rows_s: np.ndarray,
                 rb_s: np.ndarray) -> bytes:
         """Reorder shard-local segments into global scan order and emit.
@@ -350,6 +412,58 @@ class BatchDecoder:
                     int(needs[i][j]) > caps[j] for j in range(len(caps))):
                 res[i] = self.dec.decode(streams[i])
         return res
+
+    def decode_batch_local(self, local_streams):
+        """MULTI-HOST batch decode: each process passes only ITS OWN
+        streams (the global batch rows local_frame_indices selects) and
+        gets back (images, global_indices) for exactly those frames —
+        the decode counterpart of BatchEncoder.encode_batch_local.
+        Host prep (parse/unstuff) and output fetch stay process-local;
+        nothing crosses hosts.  Degrades to decode_batch on one
+        process."""
+        import jax
+        from . import dist
+
+        if jax.process_count() == 1:
+            if len(local_streams) != self.batch_size:
+                raise ValueError(
+                    f"expected {self.batch_size} streams, got "
+                    f"{len(local_streams)}")
+            res = self.decode_batch(local_streams)
+            return list(res), list(range(len(local_streams)))
+        rows_mine = dist.data_rows_of_process(self.mesh)
+        if not rows_mine:
+            raise ValueError("this process owns no mesh 'data' rows")
+        B = (len(local_streams) // len(rows_mine)) \
+            * self.mesh.shape["data"]
+        if B != self.batch_size:
+            raise ValueError(
+                f"global batch {B} != configured {self.batch_size}")
+        idx = dist.local_frame_indices(self.mesh, B)
+        ws, nb = [], []
+        for s in local_streams:
+            w, n = self.dec.pack_stream(s, self.geo, self.max_words,
+                                        self.comp_widths, self.table_sig)
+            ws.append(w)
+            nb.append(n)
+        gw = dist.make_global_batch(self.mesh, P("data"),
+                                    np.stack(ws), B)
+        gn = dist.make_global_batch(self.mesh, P("data"),
+                                    np.stack(nb), B)
+        out, needs_a = self.fn(gw, gn)
+        jax.block_until_ready(out)
+        imgs = dist.local_batch(out, B)
+        needs = dist.local_batch(needs_a, B)
+        caps = self.split_caps
+        res = []
+        for k, b in enumerate(idx):
+            img = imgs[b]
+            nv = needs[b]
+            if caps is not None and any(
+                    int(nv[j]) > caps[j] for j in range(len(caps))):
+                img = self.dec.decode(local_streams[k])
+            res.append(img)
+        return res, idx
 
 
 
