@@ -1485,6 +1485,23 @@ class Decoder:
         if plan is None:
             raise ValueError("legacy-path streams have no fused pipeline")
         caps = plan.split_caps
+        W = int(words_np.shape[1])
+        fn, comp_widths = self._build_pipeline_fn(ps, geo, plan, caps, W,
+                                                  seg_lens)
+        return (fn, words_np, nbits, geo, W - 1,
+                comp_widths, _table_signature(ps), caps)
+
+    def _build_pipeline_fn(self, ps, geo, plan, caps, W: int,
+                           seg_lens=None, wcs=None):
+        """(fn, comp_widths): the single-program decode pipeline
+        (words, nbits) -> (image, needs) for one geometry/plan/caps
+        combination — the core of _stream_pipeline_parts, also reused
+        with a STRIPE-LOCAL geometry by the seg-sharded decoder
+        (parallel.batch.ShardedDecoder).  seg_lens: per-segment byte
+        counts used to derive per-component scan widths; pass wcs to
+        override them (sharded decode derives widths from GLOBAL
+        per-component maxima so one compiled program serves every
+        stripe)."""
         bps = plan.bps
         nseg = geo.segment_count
         blocks_per_seg = plan.blk_valid.reshape(nseg, bps) \
@@ -1507,11 +1524,10 @@ class Decoder:
         bps_d = jnp.asarray(blocks_per_seg)
         qt = jnp.asarray(qtabs)
         comp_pattern = plan.comp_pattern
-        K = int(caps[-1]) if caps else int(words_np.shape[1])
+        K = int(caps[-1]) if caps else W
         kfn = (plan.kernel_block_fn(K, kmode == "interpret")
                if kmode != "off" else None)
-        skfn = (plan.kernel_scan_fn(int(words_np.shape[1]), nseg,
-                                    kmode == "interpret")
+        skfn = (plan.kernel_scan_fn(W, nseg, kmode == "interpret")
                 if kmode != "off" else None)
         # bps == 1 direct mode: no scan/split phases (see _decode_direct)
         direct = (bps == 1 and not geo.interleaved and kfn is not None)
@@ -1527,15 +1543,16 @@ class Decoder:
                      if kfn is not None and not geo.interleaved else None)
         idct_fn_il = (_make_idct_post_fn_t_il(geo)
                       if kfn is not None and geo.interleaved else None)
-        W = int(words_np.shape[1])
 
-        wcs = None
         comp_widths = None
         if ranges_c is not None:
-            wcs = [_comp_scan_width(W, seg_lens, lo, hi)
-                   for lo, hi, _ in ranges_c]
+            if wcs is None:
+                wcs = [_comp_scan_width(W, seg_lens, lo, hi)
+                       for lo, hi, _ in ranges_c]
             comp_widths = [(lo, hi, wc)
                            for (lo, hi, _), wc in zip(ranges_c, wcs)]
+        else:
+            wcs = None
 
         # NOTE: this is the steady-state serving pipeline — like
         # encode_to_device(check=False), per-segment error flags are not
@@ -1619,8 +1636,7 @@ class Decoder:
             coefs = _dc_fixup(coefs.reshape(nseg, bps, 64), comp_pattern)
             return idct_fn(coefs, qt), needs
 
-        return (fn, words_np, nbits, geo, int(words_np.shape[1]) - 1,
-                comp_widths, _table_signature(ps), caps)
+        return fn, comp_widths
 
     @staticmethod
     def _segment_bounds(ps, geo):

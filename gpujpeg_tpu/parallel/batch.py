@@ -337,6 +337,153 @@ class BatchEncoder:
         return bytes(out)
 
 
+class ShardedDecoder:
+    """Decode ONE frame with its restart-segment rows striped over the
+    mesh 'seg' axis — the decode-side counterpart of BatchEncoder's
+    'seg' sharding, for frames too big (or too slow) for one chip (the
+    16K case).  Restart segments are independent coding units
+    (the reference decodes one per thread,
+    gpujpeg_huffman_gpu_decoder.cu:390-407), so a stripe aligned to
+    whole segment rows decodes independently; each shard runs the FULL
+    fused pipeline on a stripe-local geometry and the output image is
+    simply the row-sharded result — no stitch pass at all.
+
+    Non-interleaved scans only (stripe rows of an interleaved scan are
+    also contiguous segment runs, but the per-component slot slicing in
+    the interleaved tail has not been wired for stripe locality yet).
+    Same-geometry/table streams decode through the compiled program;
+    denser-than-example streams raise CapacityError (decode them on a
+    plain Decoder)."""
+
+    def __init__(self, mesh: Mesh, example_stream: bytes):
+        from ..models.decoder import (Decoder, _bucket, _comp_scan_width,
+                                      resolve_output)
+        from ..stream import reader
+
+        self.mesh = mesh
+        n = mesh.shape["seg"]
+        self.n_seg = n
+        self.dec = Decoder()
+        # converge the FULL-frame plan's split caps once (full-frame
+        # needs are maxima over all segments, so they dominate any
+        # stripe's needs)
+        first = self.dec.decode_to_device(example_stream)
+        jax.block_until_ready(first)
+        del first
+        ps = reader.parse(example_stream)
+        param = reader.parsed_to_parameters(ps)
+        out_pi = resolve_output(ps, None, 0)
+        geo = get_geometry(param, out_pi.with_(width_padding=0))
+        if geo.interleaved:
+            raise ValueError("seg-sharded decode supports non-interleaved "
+                             "scans only")
+        H = geo.param_image.height
+        a = stripe_alignment(geo)
+        if not (a > 0 and H % (a * n) == 0):
+            raise ValueError(
+                f"height {H} not stripeable into {n} whole-segment "
+                f"shards (alignment {a})")
+        geo_l = get_geometry(param, out_pi.with_(width_padding=0,
+                                                 height=H // n))
+        plan_full = self.dec._plan_for(geo, ps)
+        if plan_full is None:
+            raise ValueError("legacy-path streams cannot be seg-sharded")
+        plan_l = self.dec._plan_for(geo_l, ps)
+        plan_l.split_caps = plan_full.split_caps
+        self.geo, self.geo_l = geo, geo_l
+        from ..models.decoder import _table_signature
+
+        self.table_sig = _table_signature(ps)
+
+        # shard-major row permutation: global segment rows are
+        # comp-major (comp0 segs, comp1 segs, ...); shard s needs
+        # [comp_c rows s*Sl_c:(s+1)*Sl_c for every c] contiguously
+        comp_bases, base = [], 0
+        for c in geo.components:
+            comp_bases.append(base)
+            base += c.segment_count
+        perm = []
+        for s in range(n):
+            for c, cb in zip(geo.components, comp_bases):
+                Sl = c.segment_count // n
+                perm.extend(range(cb + s * Sl, cb + (s + 1) * Sl))
+        self.perm = np.asarray(perm, np.int64)
+
+        bounds = self.dec._segment_bounds(ps, geo)
+        seg_lens = bounds[1] - bounds[0]
+        self.max_words = _bucket((int(seg_lens.max()) + 3) // 4)
+        W = self.max_words + 1
+        # per-component scan widths from GLOBAL maxima so one compiled
+        # program serves every stripe
+        self.comp_widths = []
+        wcs = []
+        for c, cb in zip(geo.components, comp_bases):
+            S = c.segment_count
+            wc = _comp_scan_width(W, seg_lens, cb, cb + S)
+            wcs.append(wc)
+            self.comp_widths.append((cb, cb + S, wc))
+        fn_l, _cw = self.dec._build_pipeline_fn(
+            ps, geo_l, plan_l, plan_l.split_caps, W, wcs=wcs)
+        self.split_caps = plan_l.split_caps
+
+        def shard_fn(words_s, nbits_s):
+            img, needs = fn_l(words_s, nbits_s)
+            return img, needs[None]
+
+        self.fn = jax.jit(shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("seg"), P("seg")),
+            out_specs=(P("seg"), P("seg")), check_vma=False))
+
+    def pack(self, data: bytes):
+        """Host prep: permuted (words, nbits) for the sharded program.
+        Raises CapacityError when the stream is denser than the
+        example (decode it on a plain Decoder instead)."""
+        from ..models.decoder import CapacityError, _table_signature, \
+            resolve_output
+        from ..stream import reader, segments as segprep
+        from ..utils.geometry import get_geometry as _gg
+
+        ps = reader.parse(data)
+        param = reader.parsed_to_parameters(ps)
+        out_pi = resolve_output(ps, None, 0)
+        g = _gg(param, out_pi.with_(width_padding=0))
+        if g != self.geo:
+            raise ValueError("stream geometry differs from the example")
+        if _table_signature(ps) != self.table_sig:
+            raise ValueError("stream tables differ from the example")
+        st, en = self.dec._segment_bounds(ps, self.geo)
+        lens = en - st
+        if (int(lens.max()) + 3) // 4 > self.max_words:
+            raise CapacityError("segment wider than the compiled row")
+        for lo, hi, wc in self.comp_widths:
+            if (int(lens[lo:hi].max()) + 3) // 4 > wc - 1:
+                raise CapacityError(
+                    f"segments {lo}:{hi} exceed the compiled "
+                    f"per-component width {wc - 1}")
+        st = np.ascontiguousarray(st[self.perm])
+        en = np.ascontiguousarray(en[self.perm])
+        return segprep.pack_segments_matrix(ps.data, (st, en),
+                                            self.max_words)
+
+    def decode_to_device(self, data: bytes):
+        words, nbits = self.pack(data)
+        out, needs = self.fn(jnp.asarray(words), jnp.asarray(nbits))
+        caps = self.split_caps
+        if caps:
+            nv = np.asarray(needs).reshape(-1, np.asarray(needs).shape[-1]) \
+                .max(axis=0)
+            if any(int(nv[j]) > caps[j] for j in range(len(caps))):
+                # denser than the example converged: validating fallback
+                return self.dec.decode_to_device(data)
+        return out
+
+    def decode(self, data: bytes) -> np.ndarray:
+        out = self.decode_to_device(data)
+        jax.block_until_ready(out)
+        return np.asarray(out)
+
+
 def bitmerge_worst(geo_l: Geometry):
     from ..ops import bitmerge as bm
 

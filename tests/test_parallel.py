@@ -165,3 +165,73 @@ def test_mega_batch_growth_protocol(monkeypatch, rng):
     for i in range(2):
         dec = pil_decode(streams[i])
         assert psnr(frames[i], dec) > 30
+
+
+def test_sharded_decoder_bit_exact(rng):
+    """ShardedDecoder: one frame's restart-segment rows striped over the
+    mesh 'seg' axis decode bit-identically to the single-device
+    Decoder (the 16K frame-too-big-for-one-chip configuration;
+    counterpart of the reference's per-thread segment independence,
+    gpujpeg_huffman_gpu_decoder.cu:390-407)."""
+    from gpujpeg_tpu import Decoder, Encoder
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = pmesh.make_mesh(4, data=1, seg=4)
+    H, W = 64, 48
+    param = Parameters(quality=85, restart_interval=2)
+    pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    img = rng.integers(0, 256, (H, W, 3), np.uint8)
+    data = bytes(Encoder().encode(img, param, pi))
+    sd = pbatch.ShardedDecoder(mesh, data)
+    got = sd.decode(data)
+    ref = np.asarray(Decoder().decode(data))
+    assert np.array_equal(got, ref)
+    # a second same-geometry stream through the compiled program
+    img2 = rng.integers(0, 256, (H, W, 3), np.uint8)
+    data2 = bytes(Encoder().encode(img2, param, pi))
+    got2 = sd.decode(data2)
+    ref2 = np.asarray(Decoder().decode(data2))
+    assert np.array_equal(got2, ref2)
+
+
+def test_sharded_decoder_subsampled(rng):
+    """4:2:0 stripes: per-component segment rows stay whole per shard."""
+    from gpujpeg_tpu import Decoder, Encoder
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    mesh = pmesh.make_mesh(2, data=1, seg=2)
+    H, W = 64, 64
+    param = Parameters(quality=90, restart_interval=2).chroma_subsampled(
+        ((2, 2), (1, 1), (1, 1)))
+    pi = ImageParameters(width=W, height=H, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    img = smooth_image(rng, H, W, 3)
+    data = bytes(Encoder().encode(img, param, pi))
+    sd = pbatch.ShardedDecoder(mesh, data)
+    got = sd.decode(data)
+    ref = np.asarray(Decoder().decode(data))
+    assert np.array_equal(got, ref)
+
+
+def test_sharded_decoder_rejects_mismatch(rng):
+    from gpujpeg_tpu import Encoder
+    from gpujpeg_tpu.models.decoder import CapacityError
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    mesh = pmesh.make_mesh(2, data=1, seg=2)
+    pi = ImageParameters(width=48, height=64, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    param = Parameters(quality=50, restart_interval=2)
+    smooth = smooth_image(rng, 64, 48, 3)
+    data = bytes(Encoder().encode(smooth, param, pi))
+    sd = pbatch.ShardedDecoder(mesh, data)
+    # denser content (noise at Q95) busts the compiled widths
+    noisy = rng.integers(0, 256, (64, 48, 3), np.uint8)
+    dense = bytes(Encoder().encode(
+        noisy, Parameters(quality=95, restart_interval=2), pi))
+    with pytest.raises((CapacityError, ValueError)):
+        sd.pack(dense)

@@ -146,30 +146,31 @@ def main():
         coefs0_t = jax.block_until_ready(
             jax.jit(block_phase)(bufs0_t, blen0))
 
-    def delta(loop, args, n_hi=9, reps=3):
+    def delta(mk_loop, args, n_hi=9, reps=3):
         times = {}
         for n in (1, n_hi):
-            _ = np.asarray(loop(*args, n))
+            loop = mk_loop(n)
+            _ = np.asarray(loop(*args))
             best = float("inf")
             for _r in range(reps):
                 t0 = time.perf_counter()
-                _ = np.asarray(loop(*args, n))
+                _ = np.asarray(loop(*args))
                 best = min(best, time.perf_counter() - t0)
             times[n] = best
         return (times[n_hi] - times[1]) / (n_hi - 1) * 1000.0
 
     def mk(fnc, perturb):
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def loop(*args_n):
-            *args, n = args_n
+        def mk_loop(n):
+            @jax.jit
+            def loop(*args):
+                def body(i, carry):
+                    r = fnc(*perturb(args, carry))
+                    r = r[0] if isinstance(r, (list, tuple)) else r
+                    return r.reshape(-1)[0].astype(jnp.int32)
 
-            def body(i, carry):
-                r = fnc(*perturb(args, carry))
-                r = r[0] if isinstance(r, (list, tuple)) else r
-                return r.reshape(-1)[0].astype(jnp.int32)
-
-            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
-        return loop
+                return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+            return loop
+        return mk_loop
 
     u32 = lambda c: c.astype(jnp.uint32)
     res = {}
@@ -188,14 +189,17 @@ def main():
         mk(post_phase, lambda a, c: (a[0].at[0, 0].set(c.astype(jnp.int16)),)),
         (coefs0_t,))
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def full_loop(wd, nb, n):
-        def body(i, carry):
-            img, _needs = fn(wd.at[0, 0].set(carry.astype(jnp.uint32)), nb)
-            return img.reshape(-1)[0].astype(jnp.int32)
-        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+    def mk_full(n):
+        @jax.jit
+        def loop(wd, nb):
+            def body(i, carry):
+                img, _needs = fn(wd.at[0, 0].set(carry.astype(jnp.uint32)),
+                                 nb)
+                return img.reshape(-1)[0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+        return loop
 
-    res["full"] = delta(full_loop, (words, nbits))
+    res["full"] = delta(mk_full, (words, nbits))
     total = sum(v for k, v in res.items() if k != "full")
     print({k: round(v, 2) for k, v in res.items()},
           f"phase-sum {total:.2f}")
