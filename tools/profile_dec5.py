@@ -166,7 +166,12 @@ def main():
                 def body(i, carry):
                     r = fnc(*perturb(args, carry))
                     r = r[0] if isinstance(r, (list, tuple)) else r
-                    return r.reshape(-1)[0].astype(jnp.int32)
+                    # strided sample over the WHOLE result: a [0]-only
+                    # carry lets XLA dead-code-eliminate every
+                    # per-component call not feeding element 0
+                    flat = r.reshape(-1)
+                    s = flat[:: max(1, flat.size // 8)]
+                    return jnp.max(s).astype(jnp.int32)
 
                 return jax.lax.fori_loop(0, n, body, jnp.int32(0))
             return loop
