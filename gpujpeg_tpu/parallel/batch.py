@@ -543,10 +543,25 @@ class BatchDecoder:
         if len(streams) != self.batch_size:
             raise ValueError(f"expected {self.batch_size} streams, got "
                              f"{len(streams)}")
-        ws, nb = [], []
-        for s in streams:
-            w, n = self.dec.pack_stream(s, self.geo, self.max_words,
-                                        self.comp_widths, self.table_sig)
+        from ..models.decoder import CapacityError
+
+        ws, nb, fallback = [], [], []
+        blank = None
+        for i, s in enumerate(streams):
+            try:
+                w, n = self.dec.pack_stream(s, self.geo, self.max_words,
+                                            self.comp_widths,
+                                            self.table_sig)
+            except CapacityError:
+                # denser than the compiled pipeline admits: decode this
+                # frame on the validating single-stream path (a bubble,
+                # not an error — mirrors decode_pipelined's policy)
+                fallback.append(i)
+                if blank is None:
+                    blank = (np.zeros((self.geo.segment_count,
+                                       self.max_words + 1), np.uint32),
+                             np.zeros(self.geo.segment_count, np.int32))
+                w, n = blank
             ws.append(w)
             nb.append(n)
         out, needs = self.fn(jnp.asarray(np.stack(ws)),
@@ -554,9 +569,13 @@ class BatchDecoder:
         res = np.asarray(out)
         needs = np.asarray(needs)
         caps = self.split_caps
-        for i in range(len(streams)):
-            if caps is not None and any(
-                    int(needs[i][j]) > caps[j] for j in range(len(caps))):
+        repair = [i for i in range(len(streams))
+                  if i in fallback or (caps is not None and any(
+                      int(needs[i][j]) > caps[j]
+                      for j in range(len(caps))))]
+        if repair:
+            res = np.array(res)     # np.asarray can be a read-only view
+            for i in repair:
                 res[i] = self.dec.decode(streams[i])
         return res
 

@@ -235,3 +235,31 @@ def test_sharded_decoder_rejects_mismatch(rng):
         noisy, Parameters(quality=95, restart_interval=2), pi))
     with pytest.raises((CapacityError, ValueError)):
         sd.pack(dense)
+
+
+def test_batch_decoder_dense_stream_fallback(rng):
+    """A stream denser than the compiled pipeline's capacities no longer
+    raises: it decodes on the validating single-stream path while the
+    rest of the batch uses the mesh (general decode-farm envelope)."""
+    from gpujpeg_tpu import Decoder, Encoder
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 virtual devices")
+    mesh = pmesh.make_mesh(2, data=2, seg=1)
+    pi = ImageParameters(width=48, height=32, color_space=ColorSpace.RGB,
+                         pixel_format=PixelFormat.P444_U8_P012)
+    p_lo = Parameters(quality=50, restart_interval=2)
+    smooth = smooth_image(rng, 32, 48, 3)
+    example = bytes(Encoder().encode(smooth, p_lo, pi))
+    bd = pbatch.BatchDecoder(mesh, example, batch_size=2)
+    # same tables (same quality), denser content: noise segments
+    # overflow the smooth example's converged split capacities (and, if
+    # wide enough, the compiled row widths -> the pack CapacityError
+    # fallback); either repair path must yield exact pixels
+    noisy = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    dense = bytes(Encoder().encode(noisy, p_lo, pi))
+    out = bd.decode_batch([example, dense])
+    ref0 = np.asarray(Decoder().decode(example))
+    ref1 = np.asarray(Decoder().decode(dense))
+    assert np.array_equal(out[0], ref0)
+    assert np.array_equal(out[1], ref1)

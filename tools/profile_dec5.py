@@ -170,8 +170,10 @@ def main():
                     # carry lets XLA dead-code-eliminate every
                     # per-component call not feeding element 0
                     flat = r.reshape(-1)
-                    s = flat[:: max(1, flat.size // 8)]
-                    return jnp.max(s).astype(jnp.int32)
+                    step = max(1, flat.size // 8)
+                    picks = [flat[k * step] for k in range(
+                        min(8, flat.size))]
+                    return jnp.max(jnp.stack(picks)).astype(jnp.int32)
 
                 return jax.lax.fori_loop(0, n, body, jnp.int32(0))
             return loop
