@@ -400,6 +400,67 @@ def _dc_fixup_t(coefs_t, comp_pattern: np.ndarray, nseg: int, bps: int):
     return jnp.concatenate([dc_row, coefs_t[1:]], axis=0)
 
 
+def _segrow_parts(plan, geo, ranges_c, seg_lens, W: int, kmode: str,
+                  wcs=None):
+    """Per-component (lo, hi, wc, fn) for the SEGMENT-ROW phase C, or
+    None when inapplicable (interleaved scans, kernels off, a component
+    width beyond the kernel budget).
+
+    OPT-IN (GPUJPEG_TPU_SEGROW=1): measured on the 8K Q75 bench stream
+    the split-free walk LOST to split+block (7.3 vs 5.5 ms): with the
+    class-specialized scan at 0.33 ms and the split at 2.55, phase C's
+    small-K window (selects over ~11 buffer words per step) beats a
+    whole-row window (selects over W=33) by more than the split costs.
+    Kept as an option because the trade flips wherever split capacities
+    approach the row width; default off."""
+    import os
+
+    if (geo.interleaved or ranges_c is None or kmode == "off"
+            or os.environ.get("GPUJPEG_TPU_SEGROW", "0") != "1"):
+        return None
+    out = []
+    for idx, (lo, hi, cls) in enumerate(ranges_c):
+        wc = (wcs[idx] if wcs is not None
+              else _comp_scan_width(W, seg_lens, lo, hi))
+        fn_c = plan.kernel_segrow_fn(wc, kmode == "interpret", cls)
+        if fn_c is None:
+            return None
+        out.append((lo, hi, wc, fn_c))
+    return out
+
+
+def _segrow_call(parts, geo, words, bstart, bdc_i, bac_i, bva_i):
+    """Run the split-free phase C: each block lane decodes out of its
+    (lane-expanded) segment row from its absolute phase-A bit cursor.
+    Returns (coefs_t (64, L), err rows)."""
+    import os
+
+    bps = geo.max_blocks_per_seg
+    lane_expand = os.environ.get("GPUJPEG_TPU_SEGROW_EXPAND",
+                                 "major") != "lane"
+    cts, errs = [], []
+    for lo, hi, wc, fn_c in parts:
+        S = hi - lo
+        w = words[lo:hi, :wc]
+        if lane_expand:
+            # expand on MAJOR dims then transpose (XLA's lane-repeat
+            # lowering is layout-hostile; broadcast+reshape is free and
+            # the transpose is one relayout pass)
+            bufs_t = jnp.broadcast_to(w[:, None, :], (S, bps, wc)) \
+                .reshape(S * bps, wc).T
+        else:
+            bufs_t = jnp.repeat(w.T, bps, axis=1)
+        cur0 = bstart[lo:hi, :bps].reshape(1, S * bps)
+        bend = bstart[lo:hi, 1:].reshape(1, S * bps)
+        ct, e = fn_c(bufs_t, bend, cur0,
+                     bdc_i[:, lo * bps:hi * bps],
+                     bac_i[:, lo * bps:hi * bps],
+                     bva_i[:, lo * bps:hi * bps])
+        cts.append(ct)
+        errs.append(e)
+    return jnp.concatenate(cts, axis=1), jnp.concatenate(errs)
+
+
 def _dc_fixup(coefs, comp_pattern: np.ndarray):
     """Integrate differential DC along each segment row (per component).
 
@@ -535,6 +596,35 @@ class _StreamPlan:
         gfn = huffdec_kernel.cached_block_kernel(
             K, None, None, None, None, 1024, interpret, class_const,
             generic=(nw_dc, nw_ac))
+        return lambda *args: gfn(tbl, *args)
+
+    def kernel_segrow_fn(self, W: int, interpret: bool, class_const=None):
+        """SEGMENT-ROW phase C (split-free): block lanes decode straight
+        out of whole (lane-expanded) segment rows from absolute phase-A
+        bit cursors — phase B and its ~240 MB HBM round trip vanish
+        (measured 2.55 ms of XLA split + ~0.5 ms bufs transpose at 8K
+        Q75).  None when W exceeds the per-step window-select budget
+        (72 covers 8K Q90 noise at interval 8; the per-step select
+        chain is 2W selects on a ~250-op token chain, and the
+        (W*8, 1024) VMEM tile is 2.3 MB at the cap)."""
+        if W > 72:
+            return None
+        if self.kernel_consts is not None:
+            ac_l, ac_c, dc_l, dc_c = self.kernel_consts
+            return huffdec_kernel.cached_block_kernel(
+                W, ac_l, ac_c, dc_l, dc_c, 1024, interpret, class_const,
+                with_cursor=True)
+        if self.generic is None:
+            return None
+        tbl, nw_dc, nw_ac = self.generic
+        if self.generic_baked is not None:
+            return huffdec_kernel.cached_block_kernel(
+                W, None, None, None, None, 1024, interpret, class_const,
+                generic=(nw_dc, nw_ac), baked_tbl=self.generic_baked,
+                with_cursor=True)
+        gfn = huffdec_kernel.cached_block_kernel(
+            W, None, None, None, None, 1024, interpret, class_const,
+            generic=(nw_dc, nw_ac), with_cursor=True)
         return lambda *args: gfn(tbl, *args)
 
     def comp_class_ranges(self):
@@ -1091,6 +1181,46 @@ class Decoder:
             bstart, errA = plan.scan_fn(words, nbits_d, blocks_per_seg,
                                         jnp.asarray(plan.dc_luma_row),
                                         jnp.asarray(plan.ac_luma_row))
+        # phase C' (SEGMENT-ROW): split-free per-block decode straight
+        # out of the segment rows at phase A's absolute bit cursors —
+        # phase B (2.55 ms XLA split + bufs transpose + ~240 MB of HBM
+        # at 8K Q75) disappears, and with it the split-caps protocol
+        # (nothing left to overflow)
+        sr_parts = _segrow_parts(plan, geo, ranges_c, seg_lens,
+                                 int(words.shape[1]), kmode)
+        if sr_parts is not None:
+            qtabs = np.stack([
+                ps.quant_tables[ps.quant_map[c.index]]
+                for c in geo.components
+            ]).astype(np.float32)
+            bdc_i = jnp.asarray(
+                plan.blk_dc_luma.astype(np.int32))[None, :]
+            bac_i = jnp.asarray(
+                plan.blk_ac_luma.astype(np.int32))[None, :]
+            bva_i = jnp.asarray(plan.blk_valid.astype(np.int32))[None, :]
+            coefs_t, errC = _segrow_call(sr_parts, geo, words, bstart,
+                                         bdc_i, bac_i, bva_i)
+            t_h = None
+            if self.perf_stats:
+                jax.block_until_ready(coefs_t)
+                t_h = time.perf_counter()
+                self.stats.duration_huffman_coder = (t_h - t1) * 1000.0
+            coefs_t = _dc_fixup_t(coefs_t, plan.comp_pattern, nseg, bps)
+            out = _idct_post_t_call(geo, coefs_t, jnp.asarray(qtabs))
+            if t_h is not None:
+                jax.block_until_ready(out)
+                self.stats.duration_dct_quantization = \
+                    (time.perf_counter() - t_h) * 1000.0
+                self.stats.duration_preprocessor = 0.0
+            out = self._apply_output_options(out, out_pi)
+            self.stats.duration_in_gpu = \
+                (time.perf_counter() - t1) * 1000.0
+            if np.asarray(errA).any() or np.asarray(errC).any():
+                import logging
+                logging.getLogger("gpujpeg_tpu").warning(
+                    "corrupt segment(s) during Huffman decode")
+            return out
+
         needs = huffdec2.split_needs(bstart, bps)
         caps = plan.split_caps
         # steady state: converged caps are used WITHOUT a mid-frame host
@@ -1508,7 +1638,8 @@ class Decoder:
             .sum(axis=1).astype(np.int32)
         qtabs = np.stack([ps.quant_tables[ps.quant_map[c.index]]
                           for c in geo.components]).astype(np.float32)
-        split_fn = self._split_fn(bps, caps)
+        split_fn = (self._split_fn(bps, caps) if caps is not None
+                    else None)
         scan_fn = plan.scan_fn
         block_fn = plan.block_fn()
         kmode = deckernel_mode()
@@ -1531,9 +1662,15 @@ class Decoder:
                 if kmode != "off" else None)
         # bps == 1 direct mode: no scan/split phases (see _decode_direct)
         direct = (bps == 1 and not geo.interleaved and kfn is not None)
-        ranges_c = (plan.comp_class_ranges()
-                    if kmode != "off" and (skfn is not None or direct)
-                    and kfn is not None else None)
+        # ranges_all: per-component class ranges (table class uniform per
+        # component); used by the segment-row path regardless of the
+        # split-path kernels' availability.  ranges_c keeps the original
+        # gating for the split-path phases (per-comp scan + block).
+        ranges_all = (plan.comp_class_ranges() if kmode != "off"
+                      else None)
+        ranges_c = (ranges_all
+                    if (skfn is not None or direct) and kfn is not None
+                    else None)
         dc_li = jnp.asarray(plan.dc_luma_row.astype(np.int32))
         ac_li = jnp.asarray(plan.ac_luma_row.astype(np.int32))
 
@@ -1545,14 +1682,21 @@ class Decoder:
                       if kfn is not None and geo.interleaved else None)
 
         comp_widths = None
-        if ranges_c is not None:
+        if ranges_all is not None:
             if wcs is None:
                 wcs = [_comp_scan_width(W, seg_lens, lo, hi)
-                       for lo, hi, _ in ranges_c]
+                       for lo, hi, _ in ranges_all]
             comp_widths = [(lo, hi, wc)
-                           for (lo, hi, _), wc in zip(ranges_c, wcs)]
+                           for (lo, hi, _), wc in zip(ranges_all, wcs)]
         else:
             wcs = None
+        sr_parts = (None if direct else
+                    _segrow_parts(plan, geo, ranges_all, seg_lens, W,
+                                  kmode, wcs=wcs))
+        if sr_parts is None and caps is None and not direct:
+            raise RuntimeError(
+                "split capacities unconverged and the segment-row path "
+                "is unavailable; run a validating decode() first")
 
         # NOTE: this is the steady-state serving pipeline — like
         # encode_to_device(check=False), per-segment error flags are not
@@ -1601,6 +1745,17 @@ class Decoder:
                 bstart, _e = skfn(words, nbits_d, bps_d, dc_li, ac_li)
             else:
                 bstart, _e = scan_fn(words, nbits_d, bps_d, dc_l, ac_l)
+            if sr_parts is not None:
+                # SEGMENT-ROW phase C: no split, no caps, empty needs
+                coefs_t, _eC = _segrow_call(sr_parts, geo, words, bstart,
+                                            bdc_i, bac_i, bva_i)
+                needs0 = jnp.zeros((0,), jnp.int32)
+                if idct_fn_t is not None:
+                    ct = _dc_fixup_t(coefs_t, comp_pattern, nseg, bps)
+                    return idct_fn_t(ct, qt), needs0
+                coefs = _dc_fixup(coefs_t.T.reshape(nseg, bps, 64),
+                                  comp_pattern)
+                return idct_fn(coefs, qt), needs0
             needs = huffdec2.split_needs(bstart, bps)
             bufs = split_fn(words, bstart).reshape(nseg * bps, -1)
             bit_len = (bstart[:, 1:] - bstart[:, :-1]).reshape(nseg * bps)

@@ -283,15 +283,14 @@ def dc_decode_runtime(bits, values):
 def _block_kernel_body(*refs, K: int, ac_l=None, ac_c=None,
                        dc_mono_l=None, dc_mono_c=None,
                        dc_roff_l=None, dc_roff_c=None,
-                       class_const=None, generic=None, baked_tbl=None):
+                       class_const=None, generic=None, baked_tbl=None,
+                       with_cursor: bool = False):
     if generic is not None:
         if baked_tbl is not None:
-            (bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
-             coef_ref, err_ref) = refs
+            (bufs_ref, blen_ref, *rest) = refs
             tbl_src = baked_tbl
         else:
-            (tbl_ref, bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
-             coef_ref, err_ref) = refs
+            (tbl_ref, bufs_ref, blen_ref, *rest) = refs
             tbl_src = tbl_ref
         nw_dc, nw_ac = generic
         b_dc_l, b_dc_c, b_ac_l, b_ac_c = _generic_bases(nw_dc, nw_ac)
@@ -300,13 +299,17 @@ def _block_kernel_body(*refs, K: int, ac_l=None, ac_c=None,
         ac_dec = functools.partial(_generic_decode, tbl=tbl_src,
                                    base_l=b_ac_l, base_c=b_ac_c, nw=nw_ac)
     else:
-        (bufs_ref, blen_ref, ldc_ref, lac_ref, valid_ref,
-         coef_ref, err_ref) = refs
+        (bufs_ref, blen_ref, *rest) = refs
         dc_dec = functools.partial(
             dc_identity_decode, mono_l=dc_mono_l, mono_c=dc_mono_c,
             roff_l=dc_roff_l, roff_c=dc_roff_c)
         ac_dec = functools.partial(affine_ac_decode, consts_l=ac_l,
                                    consts_c=ac_c)
+    if with_cursor:
+        (cur0_ref, ldc_ref, lac_ref, valid_ref, coef_ref, err_ref) = rest
+    else:
+        (ldc_ref, lac_ref, valid_ref, coef_ref, err_ref) = rest
+        cur0_ref = None
     C = bufs_ref.shape[1]
     blen = blen_ref[:, :]                       # (8, C)
     if class_const is not None:
@@ -363,18 +366,26 @@ def _block_kernel_body(*refs, K: int, ac_l=None, ac_c=None,
         return tuple(out)
 
     # ---- DC token (every lane's first token), unrolled ----
-    peek = window32(jnp.zeros((8, C), jnp.int32))
+    # SEGMENT-ROW mode (with_cursor): every lane's buffer is its WHOLE
+    # segment row and decode starts at the lane's absolute bit cursor
+    # (phase A's boundary), with blen the absolute END bit — the buffer
+    # split (phase B) and its HBM round trip vanish; the lane walks the
+    # same bits the split would have carved out.  All cursor/bound math
+    # below is identical for both modes (cur0 == 0 in split mode).
+    cur0 = (cur0_ref[:, :] if cur0_ref is not None
+            else jnp.zeros((8, C), jnp.int32))
+    peek = window32(cur0)
     peek16 = (peek >> 16).astype(jnp.int32)
     clen, sym = dc_dec(peek16, ldc)
     size = sym & 15
     consumed = clen + size
-    bad = valid & ((clen == 0) | (consumed > blen) | (sym > 15))
+    bad = valid & ((clen == 0) | (cur0 + consumed > blen) | (sym > 15))
     ok = valid & ~bad
     val = value_bits(peek, clen, size)
     coefs = tuple(jnp.zeros((32, C), jnp.uint32) for _ in range(8))
     coefs = write_onehot(coefs, jnp.zeros((8, C), jnp.int32), val,
                          ok & (size > 0))
-    cursor = jnp.where(ok, consumed, 0)
+    cursor = jnp.where(ok, cur0 + consumed, cur0)
     err = bad
 
     # ---- AC loop ----
@@ -441,7 +452,8 @@ def _block_kernel_body(*refs, K: int, ac_l=None, ac_c=None,
 
 def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
                       C_tile: int = 128, interpret: bool = False,
-                      class_const=None, generic=None, baked_tbl=None):
+                      class_const=None, generic=None, baked_tbl=None,
+                      with_cursor: bool = False):
     """(bufs_t (K, L) u32, blen (1, L) i32, dc_luma/ac_luma/valid (1, L)
     i32) -> (coefs_t (64, L) int16 DIFFERENTIAL-DC, err (1, L) i32).
 
@@ -457,7 +469,13 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
     table CONTENTS as a plain int tuple — compiled in as immediates
     (one compile per table set; used for widely shared sets like
     Annex-K, amortized by the persistent XLA cache); no leading array
-    argument then."""
+    argument then.
+
+    with_cursor: SEGMENT-ROW mode — the fn takes an extra cur0 (1, L)
+    i32 after blen; each lane's buffer is its whole segment row, decode
+    starts at absolute bit cur0 and blen is the absolute END bit.  The
+    caller feeds segment rows lane-expanded per block (phase B — the
+    buffer split and its HBM round trip — disappears)."""
     if generic is None:
         dc_mono_l, dc_roff_l = dc_l
         dc_mono_c, dc_roff_c = dc_c
@@ -465,19 +483,23 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
             _block_kernel_body, K=K, ac_l=ac_l, ac_c=ac_c,
             dc_mono_l=dc_mono_l, dc_mono_c=dc_mono_c,
             dc_roff_l=dc_roff_l, dc_roff_c=dc_roff_c,
-            class_const=class_const)
+            class_const=class_const, with_cursor=with_cursor)
     else:
         kernel = functools.partial(
             _block_kernel_body, K=K, class_const=class_const,
-            generic=tuple(generic), baked_tbl=baked_tbl)
+            generic=tuple(generic), baked_tbl=baked_tbl,
+            with_cursor=with_cursor)
 
     prefetch = generic is not None and baked_tbl is None
 
     def fn(*args):
         if prefetch:
-            tbl, bufs_t, blen, dc_luma, ac_luma, valid = args
+            tbl, *args = args
+        if with_cursor:
+            bufs_t, blen, cur0, dc_luma, ac_luma, valid = args
         else:
             bufs_t, blen, dc_luma, ac_luma, valid = args
+            cur0 = None
         L = bufs_t.shape[1]
         lanes = 8 * C_tile
         G = -(-L // lanes)
@@ -489,6 +511,8 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
             dc_luma = jnp.pad(dc_luma, ((0, 0), (0, Lp - L)))
             ac_luma = jnp.pad(ac_luma, ((0, 0), (0, Lp - L)))
             valid = jnp.pad(valid, ((0, 0), (0, Lp - L)))
+            if cur0 is not None:
+                cur0 = jnp.pad(cur0, ((0, 0), (0, Lp - L)))
         # lane layout: block b = r * W8 + l  (r = sublane group)
         bufs8 = bufs_t.reshape(K, 8, W8).reshape(K * 8, W8)
         row8 = lambda a: a.reshape(8, W8)
@@ -499,6 +523,8 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
                          memory_space=pltpu.VMEM),
             g8, g8, g8, g8,
         ]
+        if with_cursor:
+            in_specs = in_specs[:2] + [g8] + in_specs[2:]
         out_specs = [
             pl.BlockSpec((512, C_tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM),
@@ -510,6 +536,9 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
         ]
         ins = (bufs8, row8(blen), row8(dc_luma), row8(ac_luma),
                row8(valid))
+        if with_cursor:
+            ins = (bufs8, row8(blen), row8(cur0), row8(dc_luma),
+                   row8(ac_luma), row8(valid))
         if prefetch:
             coefs8, err8 = pl.pallas_call(
                 kernel,
@@ -541,9 +570,9 @@ def make_block_kernel(K: int, ac_l, ac_c, dc_l, dc_c,
 @functools.lru_cache(maxsize=32)
 def cached_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile=128,
                         interpret=False, class_const=None, generic=None,
-                        baked_tbl=None):
+                        baked_tbl=None, with_cursor=False):
     return make_block_kernel(K, ac_l, ac_c, dc_l, dc_c, C_tile, interpret,
-                             class_const, generic, baked_tbl)
+                             class_const, generic, baked_tbl, with_cursor)
 
 
 # --------------------------------------------------------------------------

@@ -257,3 +257,106 @@ def test_direct_bps1_corrupt_containment(monkeypatch, rng):
     assert out.shape == ref.shape
     same_rows = (out == ref).all(axis=(1, 2)).mean()
     assert same_rows > 0.5
+
+
+def _plan_of(dec, data):
+    from gpujpeg_tpu.stream import reader
+    from gpujpeg_tpu.utils.geometry import get_geometry
+
+    ps = reader.parse(data)
+    param = reader.parsed_to_parameters(ps)
+    out_pi = dec_mod.resolve_output(ps, None, 0)
+    geo = get_geometry(param, out_pi.with_(width_padding=0))
+    return dec._plan_for(geo, ps)
+
+
+def test_segrow_path_parity(monkeypatch, rng):
+    """SEGMENT-ROW phase C (split-free block decode straight out of
+    segment rows at phase-A cursors) must produce pixels identical to
+    the XLA path, across qualities / restart intervals / odd dims."""
+    for q, rstv, shape in [(75, 4, (64, 80, 3)), (90, 8, (56, 64, 3)),
+                           (85, 2, (41, 67, 3)), (50, 4, (40, 48))]:
+        img = rng.integers(0, 256, shape, np.uint8)
+        data = bytes(Encoder().encode(
+            img, Parameters(quality=q, restart_interval=rstv)))
+        ref = _decode_with_mode(data, "0", monkeypatch)
+        monkeypatch.setenv("GPUJPEG_TPU_DECKERNEL", "interpret")
+        monkeypatch.setenv("GPUJPEG_TPU_SEGROW", "1")
+        dec = Decoder()
+        got = np.asarray(dec.decode(data))
+        assert np.array_equal(ref, got), (q, rstv, shape)
+        # when the path is available it must have been taken (the
+        # split-free path leaves the split-caps protocol untouched);
+        # too-wide segments (dense noise) legitimately fall back
+        plan = _plan_of(dec, data)
+        from gpujpeg_tpu.stream import reader as _r
+        from gpujpeg_tpu.utils.geometry import get_geometry as _gg
+        ps = _r.parse(data)
+        geo = _gg(_r.parsed_to_parameters(ps),
+                  dec_mod.resolve_output(ps, None, 0)
+                  .with_(width_padding=0))
+        bounds = dec._segment_bounds(ps, geo)
+        seg_lens = bounds[1] - bounds[0]
+        W = dec_mod._bucket((int(seg_lens.max()) + 3) // 4) + 1
+        parts = dec_mod._segrow_parts(
+            plan, geo, plan.comp_class_ranges(), seg_lens, W,
+            "interpret")
+        assert (plan.split_caps is None) == (parts is not None), \
+            (q, rstv, shape)
+
+
+def test_segrow_subsampled_and_foreign(monkeypatch, rng):
+    """Segment-row path on 4:2:0 own streams and Annex-K (generic
+    table) streams — the with_cursor kernels cover the foreign-table
+    machinery too."""
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    p420 = Parameters(quality=80, restart_interval=4).chroma_subsampled(
+        ((2, 2), (1, 1), (1, 1)))
+    d1 = bytes(Encoder().encode(img, p420))
+    d2 = bytes(Encoder().encode(img, Parameters(
+        quality=75, restart_interval=4, huffman_tables="annexk")))
+    monkeypatch.setenv("GPUJPEG_TPU_SEGROW", "1")
+    for data in (d1, d2):
+        ref = _decode_with_mode(data, "0", monkeypatch)
+        got = _decode_with_mode(data, "interpret", monkeypatch)
+        assert np.array_equal(ref, got)
+
+
+def test_segrow_compiled_pipeline(monkeypatch, rng):
+    """compile_stream_pipeline takes the split-free path (empty needs)
+    and matches decode()."""
+    img = rng.integers(0, 256, (64, 80, 3), np.uint8)
+    data = bytes(Encoder().encode(img, Parameters(quality=75,
+                                                  restart_interval=4)))
+    monkeypatch.setenv("GPUJPEG_TPU_DECKERNEL", "interpret")
+    monkeypatch.setenv("GPUJPEG_TPU_SEGROW", "1")
+    dec = Decoder()
+    fn, words, nbits = dec.compile_stream_pipeline(data)
+    out = np.asarray(fn(words, nbits))
+    monkeypatch.setenv("GPUJPEG_TPU_DECKERNEL", "0")
+    monkeypatch.delenv("GPUJPEG_TPU_SEGROW", raising=False)
+    ref = np.asarray(Decoder().decode(data))
+    assert np.array_equal(out, ref)
+
+
+def test_segrow_corrupt_containment(monkeypatch, rng):
+    """Bit flips poison only the touched segment's blocks on the
+    segment-row path (absolute-cursor bound checks)."""
+    from gpujpeg_tpu.stream import reader
+
+    img = rng.integers(0, 256, (64, 80, 3), np.uint8)
+    data = bytes(Encoder().encode(img, Parameters(quality=75,
+                                                  restart_interval=4)))
+    monkeypatch.setenv("GPUJPEG_TPU_SEGROW", "1")
+    ref = _decode_with_mode(data, "interpret", monkeypatch)
+    bad = bytearray(data)
+    segs = reader.parse(data).scans[0].segments
+    mid = segs[len(segs) // 2]
+    pos = int(mid[0])
+    bad[pos] ^= 0x5A
+    if bad[pos] == 0xFF:
+        bad[pos] = 0xFE
+    out = _decode_with_mode(bytes(bad), "interpret", monkeypatch)
+    assert out.shape == ref.shape
+    same_rows = (out == ref).all(axis=(1, 2)).mean()
+    assert same_rows > 0.5

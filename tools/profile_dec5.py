@@ -104,6 +104,15 @@ def main():
     K = int(caps[-1]) if caps else W
     split_fn = dec._split_fn(bps, caps) if caps else None
     direct = bps == 1
+    sr_parts = (None if direct else dec_mod._segrow_parts(
+        plan, geo, ranges_c, None, W, kmode, wcs=wcs))
+    bdc_i1 = bdc_i
+    bac_i1 = bac_i
+    bva_i1 = bva_i
+
+    def segrow_phase(wd, bstart):
+        return dec_mod._segrow_call(sr_parts, geo, dec_mod._bswap32(wd),
+                                    bstart, bdc_i1, bac_i1, bva_i1)[0]
 
     def split_phase(wd, bstart):
         wd = dec_mod._bswap32(wd)
@@ -133,18 +142,22 @@ def main():
         ct = dec_mod._dc_fixup_t(coefs_t, plan.comp_pattern, nseg, bps)
         return idct_fn_t(ct, qt)
 
-    if not direct:
+    if not direct and split_fn is not None:
         bufs0 = jax.jit(split_phase)(words, bstart0)
         bufs0_t = jax.block_until_ready(bufs0.T)
         blen0 = (bstart0[:, 1:] - bstart0[:, :-1]).reshape(1, nseg * bps)
         blen0 = jax.block_until_ready(blen0)
         coefs0_t = jax.block_until_ready(
             jax.jit(block_phase)(bufs0_t, blen0))
-    else:
+    elif direct:
         bufs0_t = jax.block_until_ready(dec_mod._bswap32_dev(words).T)
         blen0 = jax.block_until_ready(nbits[None, :])
         coefs0_t = jax.block_until_ready(
             jax.jit(block_phase)(bufs0_t, blen0))
+    else:
+        bufs0_t = blen0 = None
+        coefs0_t = jax.block_until_ready(
+            jax.jit(segrow_phase)(words, bstart0))
 
     def delta(mk_loop, args, n_hi=9, reps=3):
         times = {}
@@ -169,10 +182,19 @@ def main():
                     # strided sample over the WHOLE result: a [0]-only
                     # carry lets XLA dead-code-eliminate every
                     # per-component call not feeding element 0
-                    flat = r.reshape(-1)
-                    step = max(1, flat.size // 8)
-                    picks = [flat[k * step] for k in range(
-                        min(8, flat.size))]
+                    # multi-dim static picks: a reshape(-1) over a
+                    # tiled TPU layout materializes a full relayout
+                    # (~33 ms for the 8K image!), so index the original
+                    # shape directly, spreading picks over EVERY dim
+                    # (a flat stride that is a multiple of a dim lands
+                    # every pick at index 0 of that dim and lets XLA
+                    # DCE whole per-component calls)
+                    prng = np.random.default_rng(42)
+                    picks = []
+                    for k in range(8):
+                        idx = tuple(int(prng.integers(0, d))
+                                    for d in r.shape)
+                        picks.append(r[idx])
                     return jnp.max(jnp.stack(picks)).astype(jnp.int32)
 
                 return jax.lax.fori_loop(0, n, body, jnp.int32(0))
@@ -184,17 +206,36 @@ def main():
     res["scan"] = delta(
         mk(scan_phase, lambda a, c: (a[0].at[0, 0].set(u32(c)),)),
         (words,))
-    if not direct:
+    if not direct and split_fn is not None:
         res["split"] = delta(
             mk(split_phase,
                lambda a, c: (a[0].at[0, 0].set(u32(c)), a[1])),
             (words, bstart0))
-    res["block"] = delta(
-        mk(block_phase, lambda a, c: (a[0].at[0, 0].set(u32(c)), a[1])),
-        (bufs0_t, blen0))
+    if bufs0_t is not None:
+        res["block"] = delta(
+            mk(block_phase,
+               lambda a, c: (a[0].at[0, 0].set(u32(c)), a[1])),
+            (bufs0_t, blen0))
+    if sr_parts is not None:
+        res["segrow"] = delta(
+            mk(segrow_phase,
+               lambda a, c: (a[0].at[0, 0].set(u32(c)), a[1])),
+            (words, bstart0))
     res["post"] = delta(
         mk(post_phase, lambda a, c: (a[0].at[0, 0].set(c.astype(jnp.int16)),)),
         (coefs0_t,))
+
+    def huff_phase(wd):
+        bstart = scan_phase(wd)
+        bufs = split_fn(dec_mod._bswap32(wd), bstart) \
+            .reshape(nseg * bps, -1)
+        blen = (bstart[:, 1:] - bstart[:, :-1]).reshape(1, nseg * bps)
+        return block_phase(bufs.T, blen)
+
+    if not direct and split_fn is not None:
+        res["huff(scan+split+block)"] = delta(
+            mk(huff_phase, lambda a, c: (a[0].at[0, 0].set(u32(c)),)),
+            (words,))
 
     def mk_full(n):
         @jax.jit
