@@ -1485,6 +1485,17 @@ class Decoder:
         img_fn = jax.jit(lambda w, n: fn(w, n)[0])
         return img_fn, jnp.asarray(words_np), jnp.asarray(nbits)
 
+    def warmup(self, example: bytes) -> None:
+        """Pre-compile every device program needed for streams shaped
+        like `example` (geometry + tables) — the decoder counterpart of
+        Encoder.allocate (the pre-init role of gpujpeg_decoder_init,
+        gpujpeg_decoder.h:90-97).  A cold machine pays seconds per
+        geometry on first use (then amortized by the persistent XLA
+        compile cache); call this at deploy time so the first real
+        frame runs at steady-state speed.  Idempotent and session-
+        scoped like Encoder.allocate."""
+        self.compile_stream_pipeline(example)
+
     def decode_pipelined(self, streams):
         """Double-buffered steady-state decode: yields one decoded numpy
         image per input JPEG stream, overlapping the host marker parse +

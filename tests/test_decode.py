@@ -163,3 +163,23 @@ def test_decode_pipelined_rejects_geometry_mismatch(rng):
     dec = Decoder()
     with pytest.raises(ValueError):
         list(dec.decode_pipelined([s1, s2]))
+
+
+def test_decoder_warmup(rng):
+    """Decoder.warmup pre-compiles the stream-shaped pipeline (the
+    decoder's Encoder.allocate counterpart); a warmed session decodes
+    the first real frame through cached programs with exact pixels."""
+    from gpujpeg_tpu import Decoder, Encoder, Parameters
+
+    img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    example = bytes(Encoder().encode(img, Parameters(quality=80,
+                                                     restart_interval=4)))
+    dec = Decoder()
+    dec.warmup(example)
+    assert dec._plans, "warmup did not build a stream plan"
+    img2 = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    s2 = bytes(Encoder().encode(img2, Parameters(quality=80,
+                                                 restart_interval=4)))
+    got = np.asarray(dec.decode(s2))
+    ref = np.asarray(Decoder().decode(s2))
+    assert np.array_equal(got, ref)
