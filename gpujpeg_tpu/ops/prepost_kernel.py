@@ -621,11 +621,15 @@ def _dpost_rg(dx, dy, NBW, NBC, nbh_c, cap) -> int:
         rg_target = min(rg_target, cap)
     while RG * 2 <= rg_target and RG * 2 <= nbh_c:
         RGn = RG * 2
-        # scoped-VMEM model calibrated on hardware: the unrolled per-row
-        # loop's temporaries cost ~2200 B per luma block column per row
-        # group (measured 16.75 MB at RG=8, NBW=960, 4:4:4), on top of
-        # the in/out tiles; Mosaic's scoped limit is 16 MB
-        vmem = (RGn * dy * NBW * 2200            # per-rr loop temporaries
+        # scoped-VMEM model RE-calibrated round 5: the old 2200 B/col
+        # constant was far too pessimistic — RG=16 AND RG=24 at
+        # NBW=960 (model: 34/50 MB) compile and run fine (4.26/4.47 ms
+        # vs 4.54 at the model's RG=8), so the per-row temporaries cost
+        # <= ~600 B/col.  700 B/col keeps a margin; an overshoot on an
+        # untested geometry degrades gracefully through
+        # dpost_note_vmem_failure (halve-and-retry).  This matters most
+        # at 16K (NBW=1920), where 2200 capped RG at 2.
+        vmem = (RGn * dy * NBW * 700             # per-rr loop temporaries
                 + 64 * RGn * dy * NBW * 2        # ysc i16
                 + 2 * 64 * RGn * NBC * 2         # cb + cr i16
                 + 2 * 8 * dy * RGn * NBW * 32    # out tile, double-buffered
