@@ -75,6 +75,11 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_int64]
         L.gj_lcg_fill.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                   ctypes.c_uint32]
+        L.gj_parse_offsets.restype = ctypes.c_int64
+        L.gj_parse_offsets.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p]
         L.gj_pack_tokens.restype = ctypes.c_int64
         L.gj_pack_tokens.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
@@ -181,6 +186,29 @@ def unstuff_rows(data: np.ndarray, ranges, row_words: int, out=None,
     # cost ~4 ms per 8K frame on the host)
     words = mat.view(np.uint32)
     return words, (out_bytes * 8).astype(np.int32)
+
+
+def parse_offsets(data: np.ndarray, chunks, base: int):
+    """Decode APP13 segment-info chunks (list of (offset, byte_len)
+    into `data`) to absolute int64 positions + monotonicity flag:
+    (offsets, bad) or None when the native library is unavailable or a
+    chunk is malformed."""
+    L = lib()
+    if L is None or not chunks:
+        return None
+    offs = np.ascontiguousarray([c[0] for c in chunks], np.int64)
+    lens = np.ascontiguousarray([c[1] for c in chunks], np.int64)
+    if (lens % 4).any():
+        return None
+    total = int(lens.sum()) // 4
+    out = np.empty(total, np.int64)
+    bad = ctypes.c_int64(0)
+    data = np.ascontiguousarray(data)
+    n = L.gj_parse_offsets(_ptr(data), len(offs), _ptr(offs), _ptr(lens),
+                           base, _ptr(out), ctypes.byref(bad))
+    if n < 0:
+        return None
+    return out, int(bad.value)
 
 
 def pack_tokens(bits: np.ndarray, lens: np.ndarray) -> bytes:

@@ -164,6 +164,52 @@ int64_t gj_pack_tokens(const uint32_t* bits, const int32_t* lens,
     return w;
 }
 
+// Decode APP13 segment-info chunks: big-endian u32 scan offsets ->
+// absolute int64 stream positions (+= base), with an inline
+// monotonicity check (replaces a numpy concat + byteswapping astype +
+// compare chain that cost ~5-9 ms per 8K Q100 frame at 1.55 M
+// segments).  chunk_offs/chunk_lens: positions/byte lengths of the
+// chunk payloads inside `data`; lens must be 4-multiples (checked).
+// Returns entries written, or -1 on a malformed chunk length.
+int64_t gj_parse_offsets(const uint8_t* data, int64_t n_chunks,
+                         const int64_t* chunk_offs,
+                         const int64_t* chunk_lens, int64_t base,
+                         int64_t* out, int64_t* bad) {
+    int64_t total = 0;
+    for (int64_t c = 0; c < n_chunks; ++c) {
+        if (chunk_lens[c] % 4) return -1;
+        total += chunk_lens[c] / 4;
+    }
+    // per-chunk output bases (exclusive prefix sum)
+    int64_t nbad = 0;
+#pragma omp parallel for schedule(static) reduction(+:nbad)
+    for (int64_t c = 0; c < n_chunks; ++c) {
+        int64_t o = 0;
+        for (int64_t k = 0; k < c; ++k) o += chunk_lens[k] / 4;
+        const uint8_t* p = data + chunk_offs[c];
+        int64_t n = chunk_lens[c] / 4;
+        int64_t prev = (o > 0) ? -1 : 0;  // cross-chunk check done below
+        for (int64_t i = 0; i < n; ++i) {
+            uint32_t v = ((uint32_t)p[4 * i] << 24)
+                       | ((uint32_t)p[4 * i + 1] << 16)
+                       | ((uint32_t)p[4 * i + 2] << 8)
+                       | (uint32_t)p[4 * i + 3];
+            int64_t a = (int64_t)v + base;
+            out[o + i] = a;
+            if (prev >= 0 && a < prev) ++nbad;
+            prev = a;
+        }
+    }
+    // cross-chunk monotonicity seams
+    int64_t o = 0;
+    for (int64_t c = 1; c < n_chunks; ++c) {
+        o += chunk_lens[c - 1] / 4;
+        if (o > 0 && out[o] < out[o - 1]) ++nbad;
+    }
+    *bad = nbad;
+    return total;
+}
+
 // Deterministic LCG test-pattern fill (image_delegate.c:560-582).
 void gj_lcg_fill(uint8_t* out, int64_t n, uint32_t seed) {
     const uint64_t A = 1664525u, C = 1013904223u, M = 2147483647u;
@@ -174,6 +220,6 @@ void gj_lcg_fill(uint8_t* out, int64_t n, uint32_t seed) {
     }
 }
 
-int gj_native_version(void) { return 3; }
+int gj_native_version(void) { return 4; }
 
 }  // extern "C"

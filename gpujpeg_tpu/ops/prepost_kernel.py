@@ -634,7 +634,11 @@ def _dpost_rg(dx, dy, NBW, NBC, nbh_c, cap) -> int:
                 + 2 * 64 * RGn * NBC * 2         # cb + cr i16
                 + 2 * 8 * dy * RGn * NBW * 32    # out tile, double-buffered
                 + 8 * NBW * 8 * 4)               # pt scratch
-        if vmem > 13e6:
+        # budget 21 MB under the recalibrated constant: RG=16 at 8K
+        # (NBW=960) measured fastest (4.26 ms vs 4.54 at RG=8) and
+        # compiles; a geometry that overshoots Mosaic's real scoped
+        # limit falls back through dpost_note_vmem_failure
+        if vmem > 21e6:
             break
         RG = RGn
     return RG

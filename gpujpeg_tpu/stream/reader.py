@@ -214,6 +214,34 @@ def _read_segment_body(data: np.ndarray, start: int,
     return segments, end_pos
 
 
+#: sentinel returned by _decode_seg_offsets for non-monotonic indices
+_BAD_OFFSETS = np.zeros(0, np.int64)
+
+
+def _decode_seg_offsets(arr: np.ndarray, chunks, base: int):
+    """APP13 chunk list ((offset, byte_len) pairs) -> ABSOLUTE (n+1,)
+    int64 positions, or the _BAD_OFFSETS sentinel when the index is
+    non-monotonic (caller falls back to marker parsing).  Native
+    single-pass decoder with a numpy fallback."""
+    from .. import native
+
+    nat = native.parse_offsets(arr, chunks, base)
+    if nat is not None:
+        off, bad = nat
+        return _BAD_OFFSETS if bad else off
+    parts = []
+    for off_b, ln in chunks:
+        if ln % 4:
+            return _BAD_OFFSETS
+        parts.append(np.frombuffer(arr, ">u4", count=ln // 4,
+                                   offset=off_b))
+    out = np.concatenate(parts).astype(np.int64)
+    if len(out) and bool((out[1:] < out[:-1]).any()):
+        return _BAD_OFFSETS
+    out += base
+    return out
+
+
 def parse(data: bytes) -> ParsedStream:
     """Parse a full JPEG codestream (gpujpeg_reader_read_image,
     gpujpeg_reader.c:1619-1736)."""
@@ -289,12 +317,15 @@ def parse(data: bytes) -> ParsedStream:
             ps.header_type = HeaderType.EXIF
         elif marker == markers.APP13:
             # GPUJPEG segment-info (gpujpeg_reader.c:347-390); chunks are
-            # kept as numpy arrays and concatenated at SOS — a Python
-            # list round-trip cost ~20 ms per 8K frame
+            # recorded as (offset, byte_len) into the original buffer —
+            # no payload copies; the native decoder (gj_parse_offsets)
+            # converts all chunks to absolute int64 positions in one
+            # parallel pass at SOS (the numpy concat + byteswapping
+            # astype chain cost ~5-9 ms per 8K Q100 frame)
             if length >= 3:
                 scan_index = body[0]
-                payload = np.frombuffer(bytes(body[1:]), dtype=">u4")
-                ps.segment_info.setdefault(scan_index, []).append(payload)
+                ps.segment_info.setdefault(scan_index, []).append(
+                    (pos + 3, length - 3))
         elif marker == markers.APP14:
             if body[:5] == b"Adobe" and len(body) >= 12:
                 ps.adobe_transform = body[11]
@@ -397,12 +428,12 @@ def parse(data: bytes) -> ParsedStream:
             scan.sos_pos = pos - 2
             scan.data_start = scan_data_start
             si = ps.segment_info.get(len(ps.scans))
-            off = (np.concatenate(si).astype(np.int64)
-                   if si else None)
+            off = _decode_seg_offsets(arr, si, scan_data_start) \
+                if si else None
             if off is not None and (
                     len(off) < 2
-                    or bool((off[1:] < off[:-1]).any())
-                    or scan_data_start + int(off[-1]) > len(arr)):
+                    or off is _BAD_OFFSETS
+                    or int(off[-1]) > len(arr)):
                 # corrupt segment-info index (non-monotonic or out of
                 # range): ignore it and fall back to marker parsing
                 log.warning("scan %d: invalid APP13 segment-info offsets; "
@@ -414,7 +445,6 @@ def parse(data: bytes) -> ParsedStream:
                 # absolute-offset form — ScanInfo derives [start, end)
                 # ranges lazily, and the decoder's host prep consumes
                 # the offsets directly
-                off += scan_data_start
                 scan.offsets = off
                 end_pos = int(off[-1])
             else:

@@ -13,7 +13,7 @@ needs_native = pytest.mark.skipif(not native.available(),
 
 @needs_native
 def test_native_version():
-    assert native.lib().gj_native_version() == 3
+    assert native.lib().gj_native_version() == 4
 
 
 @needs_native

@@ -41,7 +41,8 @@ def test_multichunk_segment_info(rng):
     # 9216 offsets * 3 scans; each scan's header payload is
     # (9216+1)*4 = 36868 B < 65436 so single chunk per scan — force the
     # multi-chunk case by checking total offsets parsed instead
-    assert all(sum(len(c) for c in ps.segment_info[k]) == 9216 + 1
+    # chunks are (offset, byte_len) pairs into the original buffer
+    assert all(sum(ln // 4 for _, ln in ps.segment_info[k]) == 9216 + 1
                for k in range(3))
     arr = Decoder().decode(out)
     assert psnr(img, arr) > 30
@@ -61,7 +62,7 @@ def test_multichunk_single_scan(rng):
     n_app13 = out.count(b"\xff\xed")
     assert n_app13 >= 2, n_app13
     ps = reader.parse(out)
-    assert sum(len(c) for c in ps.segment_info[0]) == 17408 + 1
+    assert sum(ln // 4 for _, ln in ps.segment_info[0]) == 17408 + 1
     arr = Decoder().decode(out)
     assert psnr(img, arr) > 30
 
